@@ -20,3 +20,12 @@ from .trajectories import (  # noqa: F401,E402
     UniformSE3SplineTrajectory,
     UniformSO3SplineTrajectory,
 )
+from . import _ceres  # noqa: F401,E402
+from ._ceres import (  # noqa: F401,E402
+    CallbackReturnType,
+    IterationSummary,
+    Summary,
+    TerminationType,
+)
+from .estimator import TrajectoryEstimator  # noqa: F401,E402
+from . import measurements, sensors, sfm  # noqa: F401,E402

@@ -1,0 +1,621 @@
+"""Batched residual / Jacobian / normal-equation kernels.
+
+This is the TPU replacement for the three hot loops hidden inside Ceres in
+the reference (see SURVEY.md §3.2): (1) residual+Jacobian evaluation via
+``jax.jacfwd`` over per-measurement *local* functions (the role of
+``ceres::Jet``), vmapped over dense struct-of-arrays; (2) spline window
+evaluation; (3) Gauss-Newton normal-equation assembly by scatter-add of the
+small dense local blocks into the global tangent-space system.
+
+Compilation structure
+---------------------
+Solver programs are built from a hashable :class:`ProblemSpec` carrying only
+*shapes* (knot counts, window widths, bucket kinds and sizes, tangent
+layout); all numerical content (knots, sensor params, measurement arrays,
+masks, spline t0/dt) is a traced ``runtime`` pytree. Problems with the same
+structure — locked vs unlocked, different knot values, different spacings —
+share one compiled XLA program (``_build_solver`` is lru_cached on the
+spec). This is the jit-friendly analogue of Ceres rebuilding its program
+per Problem.
+
+Key mechanics
+-------------
+- Each measurement touches a *window* of ``W`` consecutive knots per spline
+  (W = 4 plus slack for rolling-shutter readout). Local Jacobian blocks are
+  taken wrt tangent increments of that window; windows from different
+  measurements alias the same global knots, and the scatter-add accumulates
+  them exactly like Ceres's shared parameter blocks.
+- Manifold handling mirrors the reference's local parameterizations: SO3
+  knots and sensor orientations retract by left-multiplied ``exp``
+  (Ceres EigenQuaternionParameterization), SE3 knots by right-multiplied
+  Sophus ``T * exp(x)`` (uniform_se3_spline_trajectory.h:17-49).
+- Locks are masks over tangent columns; masked columns produce zero
+  Jacobian so the corresponding parameters never move
+  (= SetParameterBlockConstant).
+- Robust loss: Huber applied as IRLS weights ``rho'(s)`` on the normal
+  equations, cost reported as ``0.5 * sum(rho(|r|^2))`` (Ceres convention).
+"""
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..math import quaternion as quat
+from ..math import se3 as se3m
+from ..sensors import camera_models as cm
+
+#: sensor tangent slot layout: q_ct(3), p_ct(3), d(1), abias(3), gbias(3)
+SENSOR_TANGENT_DIM = 13
+
+_KNOT_DIMS = {"r3": 3, "so3": 4, "se3": 7}
+_TANGENT_DIMS = {"r3": 3, "so3": 3, "se3": 6}
+
+
+class SplineSpec(NamedTuple):
+    kind: str  # 'r3' | 'so3' | 'se3'
+    n: int
+    tangent_offset: int
+
+
+class BucketSpec(NamedTuple):
+    kind: str  # 'position'|'orientation'|'gyro'|'accel'|'rs_static'|'rs_newton'|'rs_lifting'
+    camera: str  # '' | 'PinholeCamera' | 'AtanCamera'
+    M: int
+    rdim: int
+    windows: Tuple[int, ...]  # W per spline, aligned with ProblemSpec.splines
+
+
+class ProblemSpec(NamedTuple):
+    splines: Tuple[SplineSpec, ...]
+    buckets: Tuple[BucketSpec, ...]
+    num_tangent: int
+    sensor_offset: int
+    landmark_offset: int
+    vt_offset: int
+    num_sensors: int
+    num_landmarks: int
+    num_vt: int
+
+
+# ---------------------------------------------------------------------------
+# spline window evaluation (shared with trajectories.spline_eval math)
+# ---------------------------------------------------------------------------
+
+from ..trajectories import spline_eval as ev  # noqa: E402
+
+
+def retract_window(kind, win, delta):
+    """Apply tangent increments [W, td] to a knot window [W, D]."""
+    if kind == "r3":
+        return win + delta
+    if kind == "so3":
+        return quat.qmul(se3m.so3_exp_quat(delta), win)
+    if kind == "se3":
+        q, t = se3m.se3_unpack(win)
+        dq, dt = se3m.se3_exp(delta)
+        return se3m.se3_pack(quat.qmul(q, dq), t + quat.qrotate(q, dt))
+    raise ValueError(kind)
+
+
+def _window_eval(kind, knots, delta, i_base, t, t0, dt, W):
+    """Evaluate one spline at time t using the W-knot window at i_base with
+    tangent increment delta applied."""
+    D = knots.shape[1]
+    n = knots.shape[0]
+    win = jax.lax.dynamic_slice(knots, (i_base, jnp.zeros_like(i_base)), (W, D))
+    win = retract_window(kind, win, delta)
+    s = (t - t0) / dt
+    i0 = jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32)
+    i0 = jnp.clip(i0, 0, n - 4)
+    j = jnp.clip(i0 - i_base, 0, W - 4)
+    u = s - (i_base + j).astype(s.dtype)
+    sub = jax.lax.dynamic_slice(win, (j, jnp.zeros_like(j)), (4, D))
+    if kind == "r3":
+        p, v, a = ev.r3_window(sub, u, dt)
+        return {"p": p, "v": v, "a": a}
+    if kind == "so3":
+        q, w = ev.so3_window(sub, u, dt)
+        return {"q": q, "w": w}
+    p, v, a, q, w = ev.se3_window(sub, u, dt)
+    return {"p": p, "v": v, "a": a, "q": q, "w": w}
+
+
+def _make_traj_eval(spec: ProblemSpec, bspec: BucketSpec, tag):
+    """eval(runtime, state, deltas, t, t_base) -> (p, v, a, q, w)."""
+
+    def eval_at(runtime, state, deltas, t, t_base):
+        dtype = jnp.result_type(t)
+        p = jnp.zeros(3, dtype)
+        v = jnp.zeros(3, dtype)
+        a = jnp.zeros(3, dtype)
+        q = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+        w = jnp.zeros(3, dtype)
+        for si, sp in enumerate(spec.splines):
+            W = bspec.windows[si]
+            t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+            i_base = jnp.clip(
+                jnp.floor((jax.lax.stop_gradient(t_base) - t0) / dt).astype(jnp.int32),
+                0,
+                sp.n - W,
+            )
+            out = _window_eval(
+                sp.kind, state[sp.kind], deltas[tag + sp.kind], i_base, t, t0, dt, W
+            )
+            if sp.kind == "r3":
+                p, v, a = out["p"], out["v"], out["a"]
+            elif sp.kind == "so3":
+                q, w = out["q"], out["w"]
+            else:
+                p, v, a, q, w = out["p"], out["v"], out["a"], out["q"], out["w"]
+        return p, v, a, q, w
+
+    return eval_at
+
+
+def _i_bases(spec, bspec, runtime, t_base):
+    out = []
+    for si, sp in enumerate(spec.splines):
+        W = bspec.windows[si]
+        t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+        out.append(
+            jnp.clip(jnp.floor((t_base - t0) / dt).astype(jnp.int32), 0, sp.n - W)
+        )
+    return out
+
+
+def _sensor_at(state, delta, s):
+    q_ct = quat.qmul(se3m.so3_exp_quat(delta[0:3]), state["q_ct"][s])
+    p_ct = state["p_ct"][s] + delta[3:6]
+    d = state["d"][s] + delta[6]
+    ab = state["abias"][s] + delta[7:10]
+    gb = state["gbias"][s] + delta[10:13]
+    return q_ct, p_ct, d, ab, gb
+
+
+def _zero_deltas(spec, bspec, tags, sensor, rho, vt, dtype):
+    z = {}
+    for tag in tags:
+        for si, sp in enumerate(spec.splines):
+            z[tag + sp.kind] = jnp.zeros((bspec.windows[si], _TANGENT_DIMS[sp.kind]), dtype)
+    if sensor:
+        z["sensor"] = jnp.zeros(SENSOR_TANGENT_DIM, dtype)
+    if rho:
+        z["rho"] = jnp.zeros((), dtype)
+    if vt:
+        z["vt"] = jnp.zeros((), dtype)
+    return z
+
+
+def _flatten_blocks(spec, bspec, tags, J_tree, i_bases_by_tag, sensor_cols, rho_col, vt_col):
+    Js, cols = [], []
+    for tag in tags:
+        ib = i_bases_by_tag[tag]
+        for si, sp in enumerate(spec.splines):
+            W = bspec.windows[si]
+            td = _TANGENT_DIMS[sp.kind]
+            Jblk = J_tree[tag + sp.kind]
+            Js.append(Jblk.reshape(Jblk.shape[0], W * td))
+            base = sp.tangent_offset + ib[si] * td
+            cols.append(base + jnp.arange(W * td, dtype=jnp.int32))
+    if sensor_cols is not None:
+        Js.append(J_tree["sensor"].reshape(-1, SENSOR_TANGENT_DIM))
+        cols.append(sensor_cols)
+    if rho_col is not None:
+        Js.append(J_tree["rho"].reshape(-1, 1))
+        cols.append(rho_col[None])
+    if vt_col is not None:
+        Js.append(J_tree["vt"].reshape(-1, 1))
+        cols.append(vt_col[None])
+    return jnp.concatenate(Js, axis=1), jnp.concatenate(cols)
+
+
+# ---------------------------------------------------------------------------
+# residual closures per bucket kind
+# ---------------------------------------------------------------------------
+
+def _angular_distance(q_meas, q_hat):
+    d = quat.qmul(quat.qconj(q_meas), q_hat)
+    v2 = jnp.sum(d[1:] * d[1:])
+    vn = jnp.sqrt(jnp.where(v2 < 1e-300, 1e-300, v2))
+    return 2.0 * jnp.arctan2(vn, jnp.abs(d[0]))
+
+
+def _project_fns(camera_name):
+    if camera_name == "AtanCamera":
+        def project(row, X):
+            return cm.atan_project(row["K"], row["wc"], row["gamma"], X)
+
+        def evaluate(row, X, dX):
+            return cm.atan_evaluate(row["K"], row["wc"], row["gamma"], X, dX)
+    else:
+        def project(row, X):
+            return cm.pinhole_project(row["K"], X)
+
+        def evaluate(row, X, dX):
+            return cm.pinhole_evaluate(row["K"], X, dX)
+    return project, evaluate
+
+
+def _world_point(p_ref, q_ref, yh_ref, rho, q_ct, p_ct):
+    """Landmark world point in inverse-depth homogeneous form
+    (static_rscamera_measurement.h:48-51)."""
+    X_ref = quat.qrotate(quat.qconj(q_ct), yh_ref - rho * p_ct)
+    return quat.qrotate(q_ref, X_ref) + rho * p_ref
+
+
+def _make_residual(spec: ProblemSpec, bspec: BucketSpec):
+    """Build residual(runtime, state, deltas, row) plus static block flags."""
+    kind = bspec.kind
+    from ..constants import GRAVITY
+
+    if kind in ("position", "orientation"):
+        eval_at = _make_traj_eval(spec, bspec, "a_")
+
+        def residual(runtime, state, deltas, row):
+            p, v, a, q, w = eval_at(runtime, state, deltas, row["t"], row["t_base"])
+            if kind == "position":
+                return row["y"] - p
+            return jnp.atleast_1d(_angular_distance(row["y"], q))
+
+        return residual, dict(tags=("a_",), sensor=False, rho=False, vt=False, loss=False)
+
+    if kind in ("gyro", "accel"):
+        eval_at = _make_traj_eval(spec, bspec, "a_")
+
+        def residual(runtime, state, deltas, row):
+            q_ct, p_ct, d, ab, gb = _sensor_at(state, deltas["sensor"], row["sid"])
+            te = row["t"] + d
+            p, v, a, q, w = eval_at(runtime, state, deltas, te, row["t_base"])
+            if kind == "gyro":
+                body = quat.qrotate(quat.qconj(q), w) + gb
+            else:
+                body = quat.qrotate(quat.qconj(q), a + jnp.asarray(GRAVITY, a.dtype)) + ab
+            return row["weight"] * (row["y"] - body)
+
+        return residual, dict(tags=("a_",), sensor=True, rho=False, vt=False, loss=False)
+
+    eval_ref = _make_traj_eval(spec, bspec, "ref_")
+    eval_obs = _make_traj_eval(spec, bspec, "obs_")
+    project, evaluate = _project_fns(bspec.camera)
+
+    if kind in ("rs_static", "rs_lifting"):
+        lifting = kind == "rs_lifting"
+
+        def residual(runtime, state, deltas, row):
+            q_ct, p_ct, d, _, _ = _sensor_at(state, deltas["sensor"], row["sid"])
+            rho = state["rho"][row["lid"]] + deltas["rho"]
+            row_delta = row["readout"] / row["rows"]
+            t_ref = row["t0_ref"] + d + row["v_ref"] * row_delta
+            if lifting:
+                vt = state["vt"][row["vt_idx"]] + deltas["vt"]
+                t_obs = row["t0_obs"] + d + vt * row["readout"]
+            else:
+                t_obs = row["t0_obs"] + d + row["v_obs"] * row_delta
+
+            pr, _, _, qr, _ = eval_ref(runtime, state, deltas, t_ref, row["t_base_ref"])
+            po, _, _, qo, _ = eval_obs(runtime, state, deltas, t_obs, row["t_base_obs"])
+
+            X = _world_point(pr, qr, row["yh_ref"], rho, q_ct, p_ct)
+            X_obs = quat.qrotate(quat.qconj(qo), X - rho * po)
+            X_cam = quat.qrotate(q_ct, X_obs) + rho * p_ct
+            y_hat = project(row, X_cam)
+            r2 = row["weight"] * (row["uv_obs"] - y_hat)
+            if not lifting:
+                return r2
+            r_time = row["weight"] * row["rows"] * (vt - row["vt_orig"])
+            return jnp.concatenate([r2, jnp.atleast_1d(r_time)])
+
+        return residual, dict(
+            tags=("ref_", "obs_"), sensor=True, rho=True, vt=lifting, loss=True
+        )
+
+    # rs_newton: bounded Newton iteration inside the residual
+    def residual(runtime, state, deltas, row):
+        q_ct, p_ct, d, _, _ = _sensor_at(state, deltas["sensor"], row["sid"])
+        rho = state["rho"][row["lid"]] + deltas["rho"]
+        row_delta = row["readout"] / row["rows"]
+        t_ref = row["t0_ref"] + d + row["v_ref"] * row_delta
+        t0_obs = row["t0_obs"] + d
+
+        pr, _, _, qr, _ = eval_ref(runtime, state, deltas, t_ref, row["t_base_ref"])
+        X = _world_point(pr, qr, row["yh_ref"], rho, q_ct, p_ct)
+
+        max_dt2 = (0.5 * row_delta) ** 2
+
+        def body(carry, _):
+            t_obs, y_out, done = carry
+            p, vel, _, q, w = eval_obs(runtime, state, deltas, t_obs, row["t_base_obs"])
+            dq = 0.5 * quat.qmul(quat.embed_vector(w), q)
+            s_vec = X - rho * p
+            ds = -rho * vel
+            X_obs = quat.qrotate(quat.qconj(q), s_vec)
+            X_cam = quat.qrotate(q_ct, X_obs) + rho * p_ct
+            dX_obs = (
+                quat.vector_sandwich(quat.qconj(dq), s_vec, q)
+                + quat.vector_sandwich(quat.qconj(q), ds, q)
+                + quat.vector_sandwich(quat.qconj(q), s_vec, dq)
+            )
+            # NOTE: the `+ rho*p_ct` replicates the reference
+            # (newton_rscamera_measurement.h:91): the constant offset appears
+            # in the time-derivative. It only perturbs the Newton path, not
+            # the fixed point; replicated for behavioral parity.
+            dX_cam = quat.qrotate(q_ct, dX_obs) + rho * p_ct
+            y, dy = evaluate(row, X_cam, dX_cam)
+            f = y[1] - row["rows"] * (t_obs - t0_obs) / row["readout"]
+            df = dy[1] - row["rows"] / row["readout"]
+            dt = f / df
+            new_t = t_obs - dt
+            now_done = dt * dt < max_dt2
+            new_t = jnp.where(
+                now_done, new_t, jnp.clip(new_t, t0_obs, t0_obs + row["readout"])
+            )
+            t_next = jnp.where(done, t_obs, new_t)
+            y_next = jnp.where(done, y_out, y)
+            return (t_next, y_next, done | now_done), None
+
+        t_obs0 = t0_obs + row["v_obs"] * row_delta
+        (tf, yf, _), _ = jax.lax.scan(
+            body, (t_obs0, jnp.zeros(2, X.dtype), jnp.asarray(False)), None, length=5
+        )
+        return row["weight"] * (row["uv_obs"] - yf)
+
+    return residual, dict(tags=("ref_", "obs_"), sensor=True, rho=True, vt=False, loss=True)
+
+
+def _with_base_times(bspec, state, row):
+    """Window base times from the current state's time offsets; windows are
+    re-centered every linearization."""
+    kind = bspec.kind
+    row = dict(row)
+    if kind in ("position", "orientation"):
+        row["t_base"] = row["t"]
+    elif kind in ("gyro", "accel"):
+        row["t_base"] = row["t"] + state["d"][row["sid"]]
+    else:
+        d = state["d"][row["sid"]]
+        row["t_base_ref"] = row["t0_ref"] + d
+        row["t_base_obs"] = row["t0_obs"] + d
+    return row
+
+
+# ---------------------------------------------------------------------------
+# robust loss (Huber, Ceres semantics)
+# ---------------------------------------------------------------------------
+
+def _huber(s, c):
+    b = c * c
+    return jnp.where(s <= b, s, 2.0 * c * jnp.sqrt(jnp.maximum(s, b)) - b)
+
+
+def _huber_prime(s, c):
+    b = c * c
+    return jnp.where(s <= b, 1.0, c / jnp.sqrt(jnp.maximum(s, b)))
+
+
+# ---------------------------------------------------------------------------
+# assembled program, cached on ProblemSpec
+# ---------------------------------------------------------------------------
+
+def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac):
+    """Residuals (and optionally local Jacobians + column indices) for one
+    bucket."""
+    tags = flags["tags"]
+    dtype = runtime["mask"].dtype
+
+    def row_fn(row):
+        zero = _zero_deltas(
+            spec, bspec, tags, flags["sensor"], flags["rho"], flags["vt"], dtype
+        )
+        row = _with_base_times(bspec, state, row)
+        i_bases_by_tag = {}
+        for tag in tags:
+            key = {"a_": "t_base", "ref_": "t_base_ref", "obs_": "t_base_obs"}[tag]
+            i_bases_by_tag[tag] = _i_bases(spec, bspec, runtime, row[key])
+
+        def f(deltas):
+            return residual(runtime, state, deltas, row)
+
+        r = f(zero)
+        if not with_jac:
+            return r
+        J_tree = jax.jacfwd(f)(zero)
+        sensor_cols = (
+            spec.sensor_offset
+            + row["sid"] * SENSOR_TANGENT_DIM
+            + jnp.arange(SENSOR_TANGENT_DIM, dtype=jnp.int32)
+            if flags["sensor"]
+            else None
+        )
+        rho_col = (
+            (spec.landmark_offset + row["lid"]).astype(jnp.int32)
+            if flags["rho"]
+            else None
+        )
+        vt_col = (
+            (spec.vt_offset + row["vt_idx"]).astype(jnp.int32) if flags["vt"] else None
+        )
+        J, cols = _flatten_blocks(
+            spec, bspec, tags, J_tree, i_bases_by_tag, sensor_cols, rho_col, vt_col
+        )
+        return r, J, cols
+
+    return jax.vmap(row_fn)(data)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: ProblemSpec, x64: bool):
+    """Compile cost / linearize / step for a problem structure."""
+    residuals = [_make_residual(spec, b) for b in spec.buckets]
+
+    def total_cost(runtime, state):
+        cost = jnp.zeros((), runtime["mask"].dtype)
+        for bspec, (res, flags), data in zip(spec.buckets, residuals, runtime["data"]):
+            r = _bucket_terms(spec, bspec, res, flags, runtime, state, data, False)
+            s = jnp.sum(r * r, axis=-1)
+            if flags["loss"]:
+                cost = cost + 0.5 * jnp.sum(_huber(s, data["huber_c"]))
+            else:
+                cost = cost + 0.5 * jnp.sum(s)
+        return cost
+
+    def linearize(runtime, state):
+        P = spec.num_tangent
+        dtype = runtime["mask"].dtype
+        H = jnp.zeros((P, P), dtype)
+        g = jnp.zeros((P,), dtype)
+        cost = jnp.zeros((), dtype)
+        for bspec, (res, flags), data in zip(spec.buckets, residuals, runtime["data"]):
+            r, J, cols = _bucket_terms(
+                spec, bspec, res, flags, runtime, state, data, True
+            )
+            s = jnp.sum(r * r, axis=-1)
+            if flags["loss"]:
+                c = data["huber_c"]
+                rho_p = _huber_prime(s, c)
+                cost = cost + 0.5 * jnp.sum(_huber(s, c))
+            else:
+                rho_p = jnp.ones_like(s)
+                cost = cost + 0.5 * jnp.sum(s)
+            col_mask = runtime["mask"][cols]
+            J = J * col_mask[:, None, :]
+            JTJ = jnp.einsum("mri,mrj->mij", J, J)
+            JTr = jnp.einsum("mri,mr->mi", J, r)
+            H = H.at[cols[:, :, None], cols[:, None, :]].add(rho_p[:, None, None] * JTJ)
+            g = g.at[cols].add(rho_p[:, None] * JTr)
+        return cost, H, g
+
+    def retract(runtime, state, delta):
+        return _retract_state(spec, runtime, state, delta)
+
+    def step(runtime, state, lam):
+        cost, H, g = linearize(runtime, state)
+        mask = runtime["mask"]
+        D = jnp.clip(jnp.diag(H), 1e-6, 1e32)
+        A = H + lam * jnp.diag(D) + jnp.diag(1.0 - mask)
+        delta = -jnp.linalg.solve(A, g) * mask
+        new_state = retract(runtime, state, delta)
+        new_cost = total_cost(runtime, new_state)
+        pred = -(g @ delta + 0.5 * delta @ (H @ delta))
+        grad_max = jnp.max(jnp.abs(g)) if g.shape[0] else jnp.zeros(())
+        return cost, new_state, new_cost, pred, delta, grad_max
+
+    return (
+        jax.jit(total_cost),
+        jax.jit(linearize),
+        jax.jit(step),
+        jax.jit(retract),
+    )
+
+
+def _retract_state(spec: ProblemSpec, runtime, state, delta):
+    """Apply a masked global tangent step to the state pytree.
+
+    Bound handling mirrors the reference: rho >= 0
+    (static_rscamera_measurement.h:180), |d| <= max_time_offset
+    (sensors.h:158-160), vt in [0, 1] (lifting_rscamera_measurement.h:199-204)
+    — enforced by projection."""
+    delta = delta * runtime["mask"]
+    new = dict(state)
+    for sp in spec.splines:
+        td = _TANGENT_DIMS[sp.kind]
+        blk = jax.lax.dynamic_slice(delta, (sp.tangent_offset,), (sp.n * td,))
+        new[sp.kind] = retract_window(sp.kind, state[sp.kind], blk.reshape(sp.n, td))
+    S = spec.num_sensors
+    if S:
+        sens = jax.lax.dynamic_slice(
+            delta, (spec.sensor_offset,), (S * SENSOR_TANGENT_DIM,)
+        ).reshape(S, SENSOR_TANGENT_DIM)
+        new["q_ct"] = quat.qmul(se3m.so3_exp_quat(sens[:, 0:3]), state["q_ct"])
+        new["p_ct"] = state["p_ct"] + sens[:, 3:6]
+        new["d"] = jnp.clip(
+            state["d"] + sens[:, 6], -runtime["d_max"], runtime["d_max"]
+        )
+        new["abias"] = state["abias"] + sens[:, 7:10]
+        new["gbias"] = state["gbias"] + sens[:, 10:13]
+    L = spec.num_landmarks
+    if L:
+        new["rho"] = jnp.maximum(
+            state["rho"] + jax.lax.dynamic_slice(delta, (spec.landmark_offset,), (L,)),
+            0.0,
+        )
+    V = spec.num_vt
+    if V:
+        new["vt"] = jnp.clip(
+            state["vt"] + jax.lax.dynamic_slice(delta, (spec.vt_offset,), (V,)),
+            0.0,
+            1.0,
+        )
+    return new
+
+
+# ---------------------------------------------------------------------------
+# public entry points, used by lm.py and benches
+# ---------------------------------------------------------------------------
+
+def problem_spec(problem) -> ProblemSpec:
+    splines = tuple(
+        SplineSpec(sp.kind, sp.n, sp.tangent_offset) for sp in problem.splines
+    )
+    buckets = []
+    for key, b in problem.buckets.items():
+        kind = key.split(":")[0]
+        windows = tuple(b.window[sp.kind] for sp in problem.splines)
+        camera = b.camera_cls.__name__ if b.camera_cls is not None else ""
+        M = len(b.measurements)
+        buckets.append(BucketSpec(kind, camera, M, b.rdim, windows))
+    return ProblemSpec(
+        splines=splines,
+        buckets=tuple(buckets),
+        num_tangent=problem.num_tangent,
+        sensor_offset=problem.sensor_offset,
+        landmark_offset=problem.landmark_offset,
+        vt_offset=problem.vt_offset,
+        num_sensors=len(problem.sensors),
+        num_landmarks=len(problem.landmarks),
+        num_vt=len(problem._lifting),
+    )
+
+
+def problem_runtime(problem):
+    """The traced pytree: everything numerical about the problem."""
+    return {
+        "mask": problem.mask,
+        "d_max": problem.d_max,
+        "spline_t0": [jnp.asarray(sp.t0, problem.mask.dtype) for sp in problem.splines],
+        "spline_dt": [jnp.asarray(sp.dt, problem.mask.dtype) for sp in problem.splines],
+        "data": [dict(b.data) for b in problem.buckets.values()],
+    }
+
+
+def make_functions(problem):
+    """(cost_fn(state), linearize_fn(state)) closing over the runtime."""
+    import jax as _jax
+
+    spec = problem_spec(problem)
+    cost_j, lin_j, _, _ = _build_solver(spec, _jax.config.jax_enable_x64)
+    runtime = problem_runtime(problem)
+    return (
+        lambda state: cost_j(runtime, state),
+        lambda state: lin_j(runtime, state),
+    )
+
+
+def make_step(problem):
+    """step(state, lam) -> (cost, new_state, new_cost, pred, delta, grad_max),
+    compiled once per problem *structure* (cached across Problems)."""
+    import jax as _jax
+
+    spec = problem_spec(problem)
+    cost_j, _, step_j, _ = _build_solver(spec, _jax.config.jax_enable_x64)
+    runtime = problem_runtime(problem)
+    return (
+        lambda state, lam: step_j(runtime, state, lam),
+        lambda state: cost_j(runtime, state),
+    )
+
+
+def retract_state(problem, state, delta):
+    """Standalone retraction (used by tests and the fused solver)."""
+    spec = problem_spec(problem)
+    return _retract_state(spec, problem_runtime(problem), state, delta)

@@ -1,0 +1,229 @@
+"""Levenberg-Marquardt trust-region loop.
+
+Replaces the reference's ``ceres::Solve`` with SPARSE_SCHUR + LM
+(trajectory_estimator.h:38-64). The trust-region policy follows Ceres's
+LevenbergMarquardtStrategy: radius ``mu`` with damping ``1/mu * diag(JtJ)``
+(diagonal clamped to [1e-6, 1e32]), accept when the relative decrease
+exceeds 1e-3, radius update ``mu / max(1/3, 1 - (2*rho - 1)^3)`` on success
+and halving with an escalating decrease factor on failure.
+
+The per-iteration work (linearize -> damped solve -> retract -> re-cost) is
+one fused jitted step; the accept/reject policy runs on host so iteration
+callbacks (Ceres parity) can fire. ``solve_fused`` — the allocation-free
+``lax.while_loop`` variant used for benchmarking — lives alongside.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._ceres import (
+    CallbackReturnType,
+    IterationSummary,
+    Summary,
+    TerminationType,
+)
+from .kernels import make_step
+from .problem import Problem
+
+
+def solve(
+    problem: Problem,
+    max_iterations=50,
+    progress=False,
+    callbacks=(),
+    callback_needs_state=False,
+    function_tolerance=1e-6,
+    gradient_tolerance=1e-10,
+    min_relative_decrease=1e-3,
+    initial_trust_region_radius=1e4,
+    max_trust_region_radius=1e16,
+    min_trust_region_radius=1e-32,
+):
+    """Run LM on a compiled problem. Returns (final_state, Summary)."""
+    t_start = time.time()
+    summary = Summary()
+    summary.num_parameters = problem.num_parameters
+    summary.num_parameter_blocks = problem.num_parameter_blocks
+    summary.num_parameters_reduced = problem.num_parameters_reduced
+    summary.num_parameter_blocks_reduced = problem.num_parameter_blocks_reduced
+    summary.num_residuals = problem.num_residuals
+    summary.num_residual_blocks = problem.num_residual_blocks
+    summary.num_residuals_reduced = problem.num_residuals_reduced
+    summary.num_residual_blocks_reduced = problem.num_residual_blocks_reduced
+
+    state = problem.state0
+
+    if problem.num_residual_blocks == 0 or problem.num_parameter_blocks_reduced == 0:
+        # Nothing to optimize; mirror Ceres's trivial convergence.
+        summary.termination_type = TerminationType.Convergence
+        summary.message = "Problem is empty or fully constant."
+        summary.total_time_in_seconds = time.time() - t_start
+        return state, summary
+
+    step, total_cost = make_step(problem)
+
+    mu = initial_trust_region_radius
+    decrease_factor = 2.0
+
+    def run_callbacks(it_summary):
+        if callback_needs_state:
+            problem.write_back(state)
+        for cb in callbacks:
+            ret = cb(it_summary)
+            if ret == CallbackReturnType.Abort:
+                return TerminationType.UserFailure
+            if ret == CallbackReturnType.TerminateSuccessfully:
+                return TerminationType.UserSuccess
+        return None
+
+    termination = None
+    message = ""
+    cost = None
+    t_min_start = time.time()
+
+    for iteration in range(max_iterations):
+        it_t0 = time.time()
+        lam = 1.0 / mu
+        cost_i, new_state, new_cost, pred, delta, grad_max = step(state, lam)
+        cost_i = float(cost_i)
+        new_cost_f = float(new_cost)
+        pred_f = float(pred)
+        grad_max_f = float(grad_max)
+        step_norm = float(jnp.linalg.norm(delta))
+        if cost is None:
+            cost = cost_i
+            summary.initial_cost = cost_i
+            it0 = IterationSummary(
+                iteration=0,
+                cost=cost_i,
+                cost_change=0.0,
+                gradient_max_norm=grad_max_f,
+                trust_region_radius=mu,
+                iteration_time_in_seconds=0.0,
+                cumulative_time_in_seconds=time.time() - t_start,
+            )
+            summary.iterations.append(it0)
+            term = run_callbacks(it0)
+            if term is not None:
+                termination = term
+                message = "Terminated by user callback."
+                break
+
+        relative_decrease = (cost_i - new_cost_f) / pred_f if pred_f > 0 else -1.0
+        step_successful = (
+            np.isfinite(new_cost_f) and relative_decrease > min_relative_decrease
+        )
+
+        if step_successful:
+            cost_change = cost_i - new_cost_f
+            state = new_state
+            mu = mu / max(1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3)
+            mu = min(mu, max_trust_region_radius)
+            decrease_factor = 2.0
+            summary.num_successful_steps += 1
+            cost = new_cost_f
+        else:
+            cost_change = 0.0
+            mu = mu / decrease_factor
+            decrease_factor *= 2.0
+            summary.num_unsuccessful_steps += 1
+
+        it_summary = IterationSummary(
+            iteration=iteration + 1,
+            step_is_valid=bool(np.isfinite(new_cost_f)),
+            step_is_successful=step_successful,
+            cost=cost,
+            cost_change=cost_change,
+            gradient_max_norm=grad_max_f,
+            step_norm=step_norm,
+            relative_decrease=relative_decrease,
+            trust_region_radius=mu,
+            iteration_time_in_seconds=time.time() - it_t0,
+            cumulative_time_in_seconds=time.time() - t_start,
+        )
+        summary.iterations.append(it_summary)
+
+        if progress:
+            print(
+                f"iter {iteration + 1:3d}  cost {cost:.6e}  "
+                f"change {cost_change:.3e}  |g| {grad_max_f:.3e}  "
+                f"tr {mu:.1e}  {'ok' if step_successful else 'reject'}"
+            )
+
+        term = run_callbacks(it_summary)
+        if term is not None:
+            termination = term
+            message = "Terminated by user callback."
+            break
+
+        if step_successful:
+            if abs(cost_change) <= function_tolerance * cost_i:
+                termination = TerminationType.Convergence
+                message = (
+                    f"Function tolerance reached: |dc| = {abs(cost_change):.3e} "
+                    f"<= {function_tolerance} * {cost_i:.3e}"
+                )
+                break
+            if grad_max_f <= gradient_tolerance:
+                termination = TerminationType.Convergence
+                message = f"Gradient tolerance reached: {grad_max_f:.3e}"
+                break
+        if mu < min_trust_region_radius:
+            termination = TerminationType.Convergence
+            message = "Trust region radius below minimum."
+            break
+
+    if termination is None:
+        termination = TerminationType.NoConvergence
+        message = f"Maximum number of iterations reached ({max_iterations})."
+
+    summary.termination_type = termination
+    summary.message = message
+    summary.final_cost = cost if cost is not None else 0.0
+    summary.minimizer_time_in_seconds = time.time() - t_min_start
+    summary.total_time_in_seconds = time.time() - t_start
+    # The fused step does residual+jacobian+solve in one XLA program; we
+    # attribute its time to the jacobian phase (dominant) for Summary parity.
+    summary.jacobian_evaluation_time_in_seconds = sum(
+        it.iteration_time_in_seconds for it in summary.iterations
+    )
+    return state, summary
+
+
+def make_fused_solver(problem: Problem, max_iterations=50, function_tolerance=1e-6):
+    """Fully on-device LM via lax.while_loop (no host round-trips).
+
+    Used by benchmarks and the multi-chip path; no callbacks. Returns a
+    jittable function state -> (state, final_cost, iterations_run)."""
+    step, total_cost = make_step(problem)
+
+    def cond(carry):
+        state, mu, dec, cost, it, done = carry
+        return (~done) & (it < max_iterations)
+
+    def body(carry):
+        state, mu, dec, cost, it, done = carry
+        cost_i, new_state, new_cost, pred, delta, grad_max = step(state, 1.0 / mu)
+        relative_decrease = jnp.where(pred > 0, (cost_i - new_cost) / pred, -1.0)
+        ok = jnp.isfinite(new_cost) & (relative_decrease > 1e-3)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, b, a), state, new_state
+        )
+        mu_ok = mu / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3)
+        mu = jnp.where(ok, jnp.minimum(mu_ok, 1e16), mu / dec)
+        dec = jnp.where(ok, 2.0, dec * 2.0)
+        new_cost_sel = jnp.where(ok, new_cost, cost_i)
+        done = ok & (jnp.abs(cost_i - new_cost) <= function_tolerance * cost_i)
+        return (state, mu, dec, new_cost_sel, it + 1, done)
+
+    def solve_fn(state):
+        mu0 = jnp.asarray(1e4, problem.mask.dtype)
+        dec0 = jnp.asarray(2.0, problem.mask.dtype)
+        cost0 = total_cost(state)
+        carry = (state, mu0, dec0, cost0, jnp.asarray(0), jnp.asarray(False))
+        state, mu, dec, cost, it, done = jax.lax.while_loop(cond, body, carry)
+        return state, cost, it
+
+    return solve_fn

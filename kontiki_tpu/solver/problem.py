@@ -1,0 +1,487 @@
+"""Problem compilation: object graph -> static arrays, masks, and bookkeeping.
+
+This replaces the reference's dynamic problem assembly
+(``AddToEstimator``/``AddToProblem``, trajectory_estimator.h:66-122,
+spline_base.h:361-404) with a one-shot compilation into struct-of-arrays
+per measurement type — the form the jitted solver kernels consume:
+
+- **State** is a pytree of arrays: spline knots per kind, stacked sensor
+  parameters, landmark inverse depths, lifted row times.
+- **Locks -> masks** over the global tangent vector reproduce
+  ``SetParameterBlockConstant``.
+- **Active-knot masks** reproduce the reference's sparsity mechanism: only
+  knots inside some measurement's time span become parameters
+  (spline_base.h:361-404); everything else is frozen.
+- **Bookkeeping** mirrors Ceres's program reduction counts
+  (num_parameter[_blocks][_reduced]) so Summary parity tests hold.
+
+Time-span semantics per measurement type follow the reference exactly,
+including the camera margin of 1e-3 and widening by max_time_offset when the
+offset is unlocked (static_rscamera_measurement.h:137-174,
+gyroscope_measurement.h:84-92)."""
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_dtype
+from ..measurements import (
+    AccelerometerMeasurement,
+    GyroscopeMeasurement,
+    LiftingRsCameraMeasurement,
+    NewtonRsCameraMeasurement,
+    OrientationMeasurement,
+    PositionMeasurement,
+    StaticRsCameraMeasurement,
+)
+from ..sensors import AtanCamera, BasicImu, Camera, ConstantBiasImu, PinholeCamera
+from ..trajectories.splines import (
+    SplitTrajectory,
+    UniformR3SplineTrajectory,
+    UniformSE3SplineTrajectory,
+    UniformSO3SplineTrajectory,
+    _UniformSplineTrajectory,
+)
+
+#: (knot_dim, tangent_dim) per spline kind
+SPLINE_SPECS = {"r3": (3, 3), "so3": (4, 3), "se3": (7, 6)}
+
+#: sensor tangent slot layout: q_ct(3), p_ct(3), d(1), abias(3), gbias(3)
+SENSOR_TANGENT_DIM = 13
+SLOT_Q = slice(0, 3)
+SLOT_P = slice(3, 6)
+SLOT_D = slice(6, 7)
+SLOT_AB = slice(7, 10)
+SLOT_GB = slice(10, 13)
+
+
+@dataclass
+class SplineInfo:
+    kind: str
+    obj: _UniformSplineTrajectory
+    tangent_offset: int = 0
+    active: Optional[np.ndarray] = None  # bool [n]
+
+    @property
+    def dt(self):
+        return self.obj.dt
+
+    @property
+    def t0(self):
+        return self.obj.t0
+
+    @property
+    def n(self):
+        return len(self.obj)
+
+    @property
+    def knot_dim(self):
+        return SPLINE_SPECS[self.kind][0]
+
+    @property
+    def tangent_dim(self):
+        return SPLINE_SPECS[self.kind][1]
+
+
+@dataclass
+class Bucket:
+    """One measurement type bucket: measurements + SoA data arrays."""
+
+    kind: str
+    measurements: list = field(default_factory=list)
+    data: Dict[str, np.ndarray] = field(default_factory=dict)
+    #: static per-bucket window width per spline kind
+    window: Dict[str, int] = field(default_factory=dict)
+    camera_cls: Optional[type] = None
+    rdim: int = 3
+
+
+def _decompose_trajectory(trajectory) -> List[SplineInfo]:
+    if isinstance(trajectory, UniformR3SplineTrajectory):
+        return [SplineInfo("r3", trajectory)]
+    if isinstance(trajectory, UniformSO3SplineTrajectory):
+        return [SplineInfo("so3", trajectory)]
+    if isinstance(trajectory, UniformSE3SplineTrajectory):
+        return [SplineInfo("se3", trajectory)]
+    if isinstance(trajectory, SplitTrajectory):
+        return [SplineInfo("r3", trajectory.R3_spline), SplineInfo("so3", trajectory.SO3_spline)]
+    raise TypeError(f"Unknown trajectory type {type(trajectory)}")
+
+
+class Problem:
+    """Compiled estimation problem (see module docstring)."""
+
+    def __init__(self, trajectory, measurements):
+        self.trajectory = trajectory
+        self.measurements = list(measurements)
+        self.splines = _decompose_trajectory(trajectory)
+        self.sensors: list = []
+        self._sensor_index: dict = {}
+        self.landmarks: list = []
+        self._landmark_index: dict = {}
+        self.buckets: Dict[str, Bucket] = {}
+        self._lifting: list = []
+
+        for sp in self.splines:
+            sp.active = np.zeros(max(sp.n, 0), dtype=bool)
+
+        for m in self.measurements:
+            self._add(m)
+
+        self._layout()
+        self._finalize_buckets()
+        self._bookkeeping()
+
+    # ------------------------------------------------------------------
+    # registration
+    # ------------------------------------------------------------------
+    def _sensor_id(self, sensor):
+        if id(sensor) not in self._sensor_index:
+            self._sensor_index[id(sensor)] = len(self.sensors)
+            self.sensors.append(sensor)
+        return self._sensor_index[id(sensor)]
+
+    def _landmark_id(self, lm):
+        if id(lm) not in self._landmark_index:
+            self._landmark_index[id(lm)] = len(self.landmarks)
+            self.landmarks.append(lm)
+        return self._landmark_index[id(lm)]
+
+    def _check_spans(self, spans):
+        """Reference CheckTimeSpans (trajectory_estimator.h:97-122)."""
+        tmin = self.trajectory.min_time
+        tmax = self.trajectory.max_time
+        prev = None
+        for t1, t2 in spans:
+            if t1 < tmin or t2 >= tmax:
+                raise ValueError("Time span out of range for trajectory")
+            if t1 > t2:
+                raise ValueError("At least one time span begins before it ends")
+            if prev is not None and t1 < prev:
+                raise ValueError("Time spans are not ordered")
+            prev = t1
+
+    def _activate(self, spans):
+        """Mark active knots for every spline (spline_base.h:361-404)."""
+        self._check_spans(spans)
+        for sp in self.splines:
+            for t1, t2 in spans:
+                i1 = int(math.floor((t1 - sp.t0) / sp.dt))
+                i2 = int(math.floor((t2 - sp.t0) / sp.dt))
+                lo = max(i1, 0)
+                hi = min(i2 + 4, sp.n)
+                sp.active[lo:hi] = True
+
+    def _bucket(self, key, rdim, camera_cls=None):
+        if key not in self.buckets:
+            self.buckets[key] = Bucket(kind=key, rdim=rdim, camera_cls=camera_cls)
+        return self.buckets[key]
+
+    def _camera_spans(self, m):
+        """Spans for RS camera measurements
+        (static_rscamera_measurement.h:137-174)."""
+        cam = m.camera
+        lm = m.observation.landmark
+        t0_ref = lm.reference.view.t0
+        t0_obs = m.observation.view.t0
+        t1, t2 = (t0_ref, t0_obs) if t0_ref <= t0_obs else (t0_obs, t0_ref)
+        if not cam.time_offset_locked:
+            t1 -= cam.max_time_offset
+            t2 += cam.max_time_offset
+        margin = 1e-3
+        return [
+            (t1 - margin, t1 + cam.readout + margin),
+            (t2 - margin, t2 + cam.readout + margin),
+        ]
+
+    def _add(self, m):
+        if isinstance(m, PositionMeasurement):
+            self._activate([(m.t, m.t)])
+            self._bucket("position", 3).measurements.append(m)
+        elif isinstance(m, OrientationMeasurement):
+            self._activate([(m.t, m.t)])
+            self._bucket("orientation", 1).measurements.append(m)
+        elif isinstance(m, (GyroscopeMeasurement, AccelerometerMeasurement)):
+            imu = m.imu
+            s = self._sensor_id(imu)
+            if imu.time_offset_locked:
+                spans = [(m.t, m.t)]
+            else:
+                spans = [(m.t - imu.max_time_offset, m.t + imu.max_time_offset)]
+            self._activate(spans)
+            key = "gyro" if isinstance(m, GyroscopeMeasurement) else "accel"
+            self._bucket(key, 3).measurements.append((m, s))
+        elif isinstance(
+            m,
+            (StaticRsCameraMeasurement, NewtonRsCameraMeasurement, LiftingRsCameraMeasurement),
+        ):
+            s = self._sensor_id(m.camera)
+            lm = m.observation.landmark
+            li = self._landmark_id(lm)
+            self._activate(self._camera_spans(m))
+            if isinstance(m, StaticRsCameraMeasurement):
+                key, rdim = "rs_static", 2
+            elif isinstance(m, NewtonRsCameraMeasurement):
+                key, rdim = "rs_newton", 2
+            else:
+                key, rdim = "rs_lifting", 3
+                self._lifting.append(m)
+            cam_cls = PinholeCamera if not isinstance(m.camera, AtanCamera) else AtanCamera
+            bucket = self._bucket(f"{key}:{cam_cls.__name__}", rdim, camera_cls=cam_cls)
+            bucket.measurements.append((m, s, li))
+        else:
+            raise TypeError(f"Unknown measurement type {type(m)}")
+
+    # ------------------------------------------------------------------
+    # tangent layout + state
+    # ------------------------------------------------------------------
+    def _layout(self):
+        offset = 0
+        for sp in self.splines:
+            sp.tangent_offset = offset
+            offset += sp.n * sp.tangent_dim
+        self.sensor_offset = offset
+        offset += len(self.sensors) * SENSOR_TANGENT_DIM
+        self.landmark_offset = offset
+        offset += len(self.landmarks)
+        self.vt_offset = offset
+        offset += len(self._lifting)
+        self.num_tangent = offset
+
+        # ---- state pytree -------------------------------------------------
+        state = {}
+        for sp in self.splines:
+            state[sp.kind] = jnp.asarray(
+                np.array(sp.obj.knots, dtype=default_dtype)
+            )
+        S = len(self.sensors)
+        q_ct = np.tile(np.array([1.0, 0, 0, 0]), (max(S, 1), 1))
+        p_ct = np.zeros((max(S, 1), 3))
+        d = np.zeros(max(S, 1))
+        ab = np.zeros((max(S, 1), 3))
+        gb = np.zeros((max(S, 1), 3))
+        for i, sensor in enumerate(self.sensors):
+            q_ct[i], p_ct[i] = sensor.relative_pose
+            d[i] = sensor.time_offset
+            if isinstance(sensor, ConstantBiasImu):
+                ab[i] = sensor.accelerometer_bias
+                gb[i] = sensor.gyroscope_bias
+        state["q_ct"] = jnp.asarray(q_ct.astype(default_dtype))
+        state["p_ct"] = jnp.asarray(p_ct.astype(default_dtype))
+        state["d"] = jnp.asarray(d.astype(default_dtype))
+        state["abias"] = jnp.asarray(ab.astype(default_dtype))
+        state["gbias"] = jnp.asarray(gb.astype(default_dtype))
+        state["rho"] = jnp.asarray(
+            np.array([lm.inverse_depth for lm in self.landmarks], dtype=default_dtype)
+        )
+        state["vt"] = jnp.asarray(
+            np.array([m.vt for m in self._lifting], dtype=default_dtype)
+        )
+        self.state0 = state
+
+        # ---- bound constants (for projection after retraction) -----------
+        self.d_max = jnp.asarray(
+            np.array(
+                [sensor.max_time_offset for sensor in self.sensors] or [0.0],
+                dtype=default_dtype,
+            )
+        )
+
+        # ---- global tangent mask -----------------------------------------
+        mask = np.zeros(self.num_tangent, dtype=default_dtype)
+        locked_traj = self.trajectory.locked if self.splines else True
+        for sp in self.splines:
+            if not locked_traj and sp.n:
+                knot_mask = sp.active.astype(default_dtype)
+                mask[
+                    sp.tangent_offset : sp.tangent_offset + sp.n * sp.tangent_dim
+                ] = np.repeat(knot_mask, sp.tangent_dim)
+        for i, sensor in enumerate(self.sensors):
+            base = self.sensor_offset + i * SENSOR_TANGENT_DIM
+            sm = np.zeros(SENSOR_TANGENT_DIM)
+            if not sensor.relative_orientation_locked:
+                sm[SLOT_Q] = 1.0
+            if not sensor.relative_position_locked:
+                sm[SLOT_P] = 1.0
+            if not sensor.time_offset_locked:
+                sm[SLOT_D] = 1.0
+            if isinstance(sensor, ConstantBiasImu):
+                if not sensor.accelerometer_bias_locked:
+                    sm[SLOT_AB] = 1.0
+                if not sensor.gyroscope_bias_locked:
+                    sm[SLOT_GB] = 1.0
+            mask[base : base + SENSOR_TANGENT_DIM] = sm
+        for li, lm in enumerate(self.landmarks):
+            mask[self.landmark_offset + li] = 0.0 if lm.locked else 1.0
+        mask[self.vt_offset : self.vt_offset + len(self._lifting)] = 1.0
+        self.mask = jnp.asarray(mask)
+
+    # ------------------------------------------------------------------
+    # bucket data arrays
+    # ------------------------------------------------------------------
+    def _window_width(self, sp: SplineInfo, readout=0.0, slack=0.0):
+        extra = int(math.ceil((readout + 2.0 * slack) / sp.dt)) + (
+            1 if (readout or slack) else 0
+        )
+        return min(4 + extra, sp.n) if sp.n >= 4 else 4
+
+    def _finalize_buckets(self):
+        dd = default_dtype
+        for key, b in self.buckets.items():
+            kind = key.split(":")[0]
+            if kind in ("position", "orientation"):
+                ms = b.measurements
+                b.data["t"] = np.array([m.t for m in ms], dtype=dd)
+                if kind == "position":
+                    b.data["y"] = np.stack([m.p for m in ms]).astype(dd)
+                else:
+                    b.data["y"] = np.stack([m.q for m in ms]).astype(dd)
+                for sp in self.splines:
+                    b.window[sp.kind] = self._window_width(sp)
+            elif kind in ("gyro", "accel"):
+                ms = [m for m, _ in b.measurements]
+                sids = np.array([s for _, s in b.measurements], dtype=np.int32)
+                b.data["t"] = np.array([m.t for m in ms], dtype=dd)
+                b.data["y"] = np.stack(
+                    [m.w if kind == "gyro" else m.a for m in ms]
+                ).astype(dd)
+                b.data["weight"] = np.array([m.weight for m in ms], dtype=dd)
+                b.data["sid"] = sids
+                # Windows are re-centered at the current time offset every
+                # linearization, so no slack is needed for IMU buckets.
+                for sp in self.splines:
+                    b.window[sp.kind] = self._window_width(sp)
+            else:  # camera buckets
+                ms = [m for m, _, _ in b.measurements]
+                sids = np.array([s for _, s, _ in b.measurements], dtype=np.int32)
+                lids = np.array([l for _, _, l in b.measurements], dtype=np.int32)
+                cams = [m.camera for m in ms]
+                b.data["sid"] = sids
+                b.data["lid"] = lids
+                b.data["uv_obs"] = np.stack([m.observation.uv for m in ms]).astype(dd)
+                b.data["v_obs"] = np.array(
+                    [m.observation.v for m in ms], dtype=dd
+                )
+                b.data["t0_obs"] = np.array(
+                    [m.observation.view.t0 for m in ms], dtype=dd
+                )
+                refs = [m.observation.landmark.reference for m in ms]
+                b.data["t0_ref"] = np.array([r.view.t0 for r in refs], dtype=dd)
+                b.data["v_ref"] = np.array([r.v for r in refs], dtype=dd)
+                # Precompute the reference unprojection (intrinsics are static)
+                b.data["yh_ref"] = np.stack(
+                    [c.unproject(r.uv) for c, r in zip(cams, refs)]
+                ).astype(dd)
+                b.data["readout"] = np.array([c.readout for c in cams], dtype=dd)
+                b.data["rows"] = np.array([c.rows for c in cams], dtype=dd)
+                b.data["K"] = np.stack([c.camera_matrix for c in cams]).astype(dd)
+                if b.camera_cls is AtanCamera:
+                    b.data["wc"] = np.stack([c.wc for c in cams]).astype(dd)
+                    b.data["gamma"] = np.array([c.gamma for c in cams], dtype=dd)
+                b.data["weight"] = np.array([m.weight for m in ms], dtype=dd)
+                b.data["huber_c"] = np.array([m.huber_loss for m in ms], dtype=dd)
+                if kind == "rs_lifting":
+                    b.data["vt_idx"] = np.array(
+                        [self._lifting.index(m) for m in ms], dtype=np.int32
+                    )
+                    b.data["vt_orig"] = np.array([m.vt_orig for m in ms], dtype=dd)
+                readout = max((c.readout for c in cams), default=0.0)
+                for sp in self.splines:
+                    b.window[sp.kind] = self._window_width(sp, readout=readout)
+            # freeze into jnp
+            b.data = {k: jnp.asarray(v) for k, v in b.data.items()}
+
+    # ------------------------------------------------------------------
+    # Ceres-style program counts
+    # ------------------------------------------------------------------
+    def _bookkeeping(self):
+        locked_traj = self.trajectory.locked if self.splines else True
+        blocks = []  # (ambient_size, constant)
+        for sp in self.splines:
+            for i in range(sp.n):
+                if sp.active[i]:
+                    blocks.append((sp.knot_dim, locked_traj))
+        for sensor in self.sensors:
+            blocks.append((4, sensor.relative_orientation_locked))
+            blocks.append((3, sensor.relative_position_locked))
+            blocks.append((1, sensor.time_offset_locked))
+            if isinstance(sensor, ConstantBiasImu):
+                blocks.append((3, sensor.accelerometer_bias_locked))
+                blocks.append((3, sensor.gyroscope_bias_locked))
+        for lm in self.landmarks:
+            blocks.append((1, lm.locked))
+        for _ in self._lifting:
+            blocks.append((1, False))
+
+        self.num_parameters = sum(s for s, _ in blocks)
+        self.num_parameter_blocks = len(blocks)
+        self.num_parameters_reduced = sum(s for s, const in blocks if not const)
+        self.num_parameter_blocks_reduced = sum(1 for _, const in blocks if not const)
+
+        self.num_residual_blocks = len(self.measurements)
+        self.num_residuals = sum(
+            b.rdim * len(b.measurements) for b in self.buckets.values()
+        )
+        # A residual block survives reduction iff >=1 of its params is free.
+        # Trajectory knots dominate every residual here, so the test that
+        # matters (locked trajectory + simple measurements -> 0) reduces to:
+        any_free_traj = not locked_traj and any(sp.active.any() for sp in self.splines)
+        self.num_residual_blocks_reduced = 0
+        self.num_residuals_reduced = 0
+        for b in self.buckets.values():
+            kind = b.kind.split(":")[0]
+            for entry in b.measurements:
+                m = entry[0] if isinstance(entry, tuple) else entry
+                free = any_free_traj
+                if isinstance(entry, tuple) and len(entry) >= 2:
+                    sensor = self.sensors[entry[1]]
+                    free = free or not (
+                        sensor.relative_orientation_locked
+                        and sensor.relative_position_locked
+                        and sensor.time_offset_locked
+                    )
+                    if isinstance(sensor, ConstantBiasImu):
+                        free = free or not (
+                            sensor.accelerometer_bias_locked
+                            and sensor.gyroscope_bias_locked
+                        )
+                if isinstance(entry, tuple) and len(entry) == 3:
+                    lm = self.landmarks[entry[2]]
+                    free = free or not lm.locked
+                if kind == "rs_lifting":
+                    free = True  # vt is always a free parameter
+                if free:
+                    self.num_residual_blocks_reduced += 1
+                    self.num_residuals_reduced += b.rdim
+
+    # ------------------------------------------------------------------
+    # write-back
+    # ------------------------------------------------------------------
+    def write_back(self, state):
+        from ..math import quaternion as quatm
+
+        for sp in self.splines:
+            arr = np.asarray(state[sp.kind])
+            if sp.kind == "so3":
+                arr = arr / np.linalg.norm(arr, axis=-1, keepdims=True)
+            elif sp.kind == "se3":
+                q = arr[:, :4]
+                arr = np.concatenate(
+                    [q / np.linalg.norm(q, axis=-1, keepdims=True), arr[:, 4:]], axis=1
+                )
+            sp.obj.set_knots(arr)
+        for i, sensor in enumerate(self.sensors):
+            q = np.asarray(state["q_ct"][i])
+            sensor.relative_pose = (q / np.linalg.norm(q), np.asarray(state["p_ct"][i]))
+            sensor.time_offset = float(
+                np.clip(state["d"][i], -sensor.max_time_offset, sensor.max_time_offset)
+            )
+            if isinstance(sensor, ConstantBiasImu):
+                sensor.accelerometer_bias = np.asarray(state["abias"][i])
+                sensor.gyroscope_bias = np.asarray(state["gbias"][i])
+        for li, lm in enumerate(self.landmarks):
+            lm.inverse_depth = float(state["rho"][li])
+        for mi, m in enumerate(self._lifting):
+            m.vt = float(state["vt"][mi])
