@@ -1,0 +1,203 @@
+"""Multi-chip execution: sharded linearization over TPU device meshes.
+
+The reference has no distributed code at all — its only concurrency is
+Ceres's thread pool (trajectory_estimator.h:43-48). This module provides the
+TPU-native scale-out described in SURVEY.md §2.10: the problem-structured
+analogues of the classic parallelism axes are
+
+- **measurement parallelism (≈ data parallelism)** — residual blocks are
+  independent given their parameter blocks. Each bucket's struct-of-arrays is
+  sharded over the mesh's ``m`` axis; every device linearizes its shard into
+  local Gauss-Newton contributions ``(cost, H, g)`` which are combined with a
+  single ``psum`` over ICI. This is implemented here and is exact: the
+  scatter-add assembly commutes with the reduction.
+- **knot-segment sharding (≈ sequence parallelism)** and **landmark-block
+  sharding (≈ expert parallelism)** shard the *state* axis; they matter once
+  the reduced system itself outgrows one chip and ride on the Schur
+  elimination layer (:mod:`kontiki_tpu.solver.schur`).
+
+Buckets are padded to a multiple of the mesh size with ``valid=0`` rows
+(weight-0 analogue of Ceres simply not adding the residual block); padded
+rows reuse row 0's data so all gathers stay in range.
+
+The replicated state + psum(H, g) design is the right one for this problem
+class: states are small (knots + sensors + landmarks) while measurements are
+huge (kHz IMU, hundreds of thousands of observations), exactly the regime
+where data parallelism is optimal.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver.kernels import (
+    build_parts,
+    damped_solve,
+    problem_runtime,
+    problem_spec,
+)
+
+__all__ = [
+    "default_mesh",
+    "make_sharded_functions",
+    "make_sharded_step",
+    "make_sharded_solver",
+]
+
+MEASUREMENT_AXIS = "m"
+
+
+def default_mesh(n_devices=None, devices=None):
+    """1-D mesh over the measurement axis using all (or n) local devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (MEASUREMENT_AXIS,))
+
+
+def _pad_rows(arr, target):
+    """Pad leading axis to ``target`` rows by repeating row 0 (keeps indices,
+    times, and camera intrinsics in padded rows well-formed)."""
+    arr = np.asarray(arr)
+    pad = target - arr.shape[0]
+    if pad <= 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[:1], pad, axis=0)], axis=0)
+
+
+def padded_spec_and_runtime(problem, n_shards):
+    """ProblemSpec + runtime pytree with every bucket padded to a multiple of
+    ``n_shards`` and a ``valid`` column added."""
+    spec = problem_spec(problem)
+    runtime = problem_runtime(problem)
+    new_buckets = []
+    new_data = []
+    for bspec, data in zip(spec.buckets, runtime["data"]):
+        M = bspec.M
+        M_pad = max(((M + n_shards - 1) // n_shards) * n_shards, n_shards)
+        d = {k: jnp.asarray(_pad_rows(v, M_pad)) for k, v in data.items()}
+        valid = np.ones(M_pad)
+        valid[M:] = 0.0
+        d["valid"] = jnp.asarray(valid.astype(problem.mask.dtype))
+        new_data.append(d)
+        new_buckets.append(bspec._replace(M=M_pad))
+    spec = spec._replace(buckets=tuple(new_buckets))
+    runtime["data"] = new_data
+    return spec, runtime
+
+
+def _runtime_pspecs(runtime):
+    """PartitionSpec pytree for the runtime: bucket data sharded over the
+    measurement axis, everything else replicated."""
+    specs = jax.tree_util.tree_map(lambda _: P(), runtime)
+    specs["data"] = [
+        {k: P(MEASUREMENT_AXIS) for k in d} for d in runtime["data"]
+    ]
+    return specs
+
+
+def _place(runtime, mesh):
+    """device_put the runtime: sharded bucket data, replicated small arrays."""
+    specs = _runtime_pspecs(runtime)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), runtime, specs
+    )
+
+
+def make_sharded_functions(problem, mesh):
+    """(cost_fn(state), linearize_fn(state) -> (cost, H, g)) with bucket data
+    sharded over ``mesh`` and results psum-reduced (replicated)."""
+    n = mesh.devices.size
+    spec, runtime = padded_spec_and_runtime(problem, n)
+    parts = build_parts(spec, jax.config.jax_enable_x64)
+    runtime = _place(runtime, mesh)
+    rt_specs = _runtime_pspecs(runtime)
+
+    cost_sm = jax.shard_map(
+        lambda rt, st: jax.lax.psum(parts["total_cost"](rt, st), MEASUREMENT_AXIS),
+        mesh=mesh,
+        in_specs=(rt_specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    lin_sm = jax.shard_map(
+        lambda rt, st: jax.lax.psum(parts["linearize"](rt, st), MEASUREMENT_AXIS),
+        mesh=mesh,
+        in_specs=(rt_specs, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return (
+        jax.jit(lambda state: cost_sm(runtime, state)),
+        jax.jit(lambda state: lin_sm(runtime, state)),
+        parts,
+        runtime,
+    )
+
+
+def make_sharded_step(problem, mesh):
+    """Jitted LM step with measurement-sharded linearization.
+
+    step(state, lam) -> (cost, new_state, new_cost, pred, delta, grad_max),
+    same contract as the single-chip ``make_step``."""
+    cost_fn, lin_fn, parts, runtime = make_sharded_functions(problem, mesh)
+
+    def step(state, lam):
+        cost, H, g = lin_fn(state)
+        delta = damped_solve(runtime["mask"], H, g, lam)
+        new_state = parts["retract"](runtime, state, delta)
+        new_cost = cost_fn(new_state)
+        pred = -(g @ delta + 0.5 * delta @ (H @ delta))
+        grad_max = jnp.max(jnp.abs(g)) if g.shape[0] else jnp.zeros(())
+        return cost, new_state, new_cost, pred, delta, grad_max
+
+    return jax.jit(step), jax.jit(cost_fn)
+
+
+def make_sharded_solver(problem, mesh, max_iterations=50, function_tolerance=1e-6):
+    """Fully on-device multi-chip LM via lax.while_loop (no host round trips).
+
+    Mirrors ``solver.lm.make_fused_solver`` but with the linearization
+    sharded over the mesh. Returns state -> (state, final_cost, iterations)."""
+    cost_fn, lin_fn, parts, runtime = make_sharded_functions(problem, mesh)
+
+    def one_step(state, lam):
+        cost, H, g = lin_fn(state)
+        delta = damped_solve(runtime["mask"], H, g, lam)
+        new_state = parts["retract"](runtime, state, delta)
+        new_cost = cost_fn(new_state)
+        pred = -(g @ delta + 0.5 * delta @ (H @ delta))
+        return cost, new_state, new_cost, pred
+
+    def cond(carry):
+        state, mu, dec, cost, it, done = carry
+        return (~done) & (it < max_iterations)
+
+    def body(carry):
+        state, mu, dec, cost, it, done = carry
+        cost_i, new_state, new_cost, pred = one_step(state, 1.0 / mu)
+        relative_decrease = jnp.where(pred > 0, (cost_i - new_cost) / pred, -1.0)
+        ok = jnp.isfinite(new_cost) & (relative_decrease > 1e-3)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, b, a), state, new_state
+        )
+        mu_ok = mu / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3)
+        mu = jnp.where(ok, jnp.minimum(mu_ok, 1e16), mu / dec)
+        dec = jnp.where(ok, 2.0, dec * 2.0)
+        new_cost_sel = jnp.where(ok, new_cost, cost_i)
+        done = ok & (jnp.abs(cost_i - new_cost) <= function_tolerance * cost_i)
+        return (state, mu, dec, new_cost_sel, it + 1, done)
+
+    def solve_fn(state):
+        dtype = problem.mask.dtype
+        mu0 = jnp.asarray(1e4, dtype)
+        dec0 = jnp.asarray(2.0, dtype)
+        cost0 = cost_fn(state)
+        carry = (state, mu0, dec0, cost0, jnp.asarray(0), jnp.asarray(False))
+        state, mu, dec, cost, it, done = jax.lax.while_loop(cond, body, carry)
+        return state, cost, it
+
+    return jax.jit(solve_fn)

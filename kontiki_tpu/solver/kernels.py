@@ -414,7 +414,12 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac):
             i_bases_by_tag[tag] = _i_bases(spec, bspec, runtime, row[key])
 
         def f(deltas):
-            return residual(runtime, state, deltas, row)
+            r = residual(runtime, state, deltas, row)
+            # Padded rows (multi-chip sharding pads buckets to a multiple of
+            # the mesh size) carry valid=0 and contribute nothing.
+            if "valid" in row:
+                r = r * row["valid"]
+            return r
 
         r = f(zero)
         if not with_jac:
@@ -444,8 +449,16 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_solver(spec: ProblemSpec, x64: bool):
-    """Compile cost / linearize / step for a problem structure."""
+def build_parts(spec: ProblemSpec, x64: bool):
+    """Raw (unjitted) solver functions for a problem structure.
+
+    Returns a dict with ``total_cost(runtime, state)``,
+    ``linearize(runtime, state) -> (cost, H, g)``,
+    ``retract(runtime, state, delta)`` and
+    ``step(runtime, state, lam)``. The multi-chip layer
+    (:mod:`kontiki_tpu.parallel`) wraps ``linearize``/``total_cost`` in
+    ``shard_map`` + ``psum`` over the measurement axis; the single-chip
+    path jits them directly (see :func:`_build_solver`)."""
     residuals = [_make_residual(spec, b) for b in spec.buckets]
 
     def total_cost(runtime, state):
@@ -490,21 +503,34 @@ def _build_solver(spec: ProblemSpec, x64: bool):
 
     def step(runtime, state, lam):
         cost, H, g = linearize(runtime, state)
-        mask = runtime["mask"]
-        D = jnp.clip(jnp.diag(H), 1e-6, 1e32)
-        A = H + lam * jnp.diag(D) + jnp.diag(1.0 - mask)
-        delta = -jnp.linalg.solve(A, g) * mask
+        delta = damped_solve(runtime["mask"], H, g, lam)
         new_state = retract(runtime, state, delta)
         new_cost = total_cost(runtime, new_state)
         pred = -(g @ delta + 0.5 * delta @ (H @ delta))
         grad_max = jnp.max(jnp.abs(g)) if g.shape[0] else jnp.zeros(())
         return cost, new_state, new_cost, pred, delta, grad_max
 
+    return dict(
+        total_cost=total_cost, linearize=linearize, retract=retract, step=step
+    )
+
+
+def damped_solve(mask, H, g, lam):
+    """LM-damped masked normal-equation solve (Ceres diagonal clamping)."""
+    D = jnp.clip(jnp.diag(H), 1e-6, 1e32)
+    A = H + lam * jnp.diag(D) + jnp.diag(1.0 - mask)
+    return -jnp.linalg.solve(A, g) * mask
+
+
+@functools.lru_cache(maxsize=None)
+def _build_solver(spec: ProblemSpec, x64: bool):
+    """Jitted cost / linearize / step / retract for a problem structure."""
+    parts = build_parts(spec, x64)
     return (
-        jax.jit(total_cost),
-        jax.jit(linearize),
-        jax.jit(step),
-        jax.jit(retract),
+        jax.jit(parts["total_cost"]),
+        jax.jit(parts["linearize"]),
+        jax.jit(parts["step"]),
+        jax.jit(parts["retract"]),
     )
 
 
