@@ -13,7 +13,7 @@ from . import config  # noqa: F401  (must be first: enables x64)
 
 __version__ = "0.9.0"
 
-from . import constants, math, rotations, utils  # noqa: F401,E402
+from . import constants, math, rotations, sew, utils  # noqa: F401,E402
 from .trajectories import (  # noqa: F401,E402
     SplitTrajectory,
     UniformR3SplineTrajectory,

@@ -4,13 +4,19 @@ atan_camera.h + bindings camera_help.h:25-49).
 ``project``/``unproject``/``evaluate_projection`` operate in the **camera
 coordinate frame** — the relative pose is NOT applied (same as the
 reference, camera.h:59-67 and its TODO.md:2-4). Intrinsics are not
-optimizable (stored in meta in the reference)."""
-import jax.numpy as jnp
+optimizable (stored in meta in the reference).
+
+The object-level methods here are plain numpy (these are host-side,
+per-point convenience calls; routing them through the device would cost a
+dispatch per call). The solver's batched differentiable versions of the
+same formulas live in :mod:`kontiki_tpu.sensors.camera_models` (jnp) and
+are tested to agree with these."""
 import numpy as np
 
 from ..config import default_dtype
-from . import camera_models as cm
 from .base import Sensor
+
+_EPS = 1e-32
 
 
 class Camera(Sensor):
@@ -53,14 +59,21 @@ class PinholeCamera(Camera):
         self._K_inv = np.linalg.inv(self._K)
 
     def evaluate_projection(self, X, dX, derive=True):
-        X = jnp.asarray(np.asarray(X, dtype=default_dtype))
-        dX = jnp.asarray(np.asarray(dX, dtype=default_dtype))
-        y, dy = cm.pinhole_evaluate(jnp.asarray(self._K), X, dX)
-        return np.asarray(y), (np.asarray(dy) if derive else np.zeros(2))
+        # pinhole_camera.h:47-61: hnormalized projection + quotient-rule dy.
+        X = np.asarray(X, dtype=default_dtype)
+        p = X @ self._K.T
+        y = p[..., :2] / p[..., 2:3]
+        if not derive:
+            return y, np.zeros(2)
+        dp = np.asarray(dX, dtype=default_dtype) @ self._K.T
+        den = p[..., 2] * p[..., 2] + _EPS
+        dy = (dp[..., :2] * p[..., 2:3] - p[..., :2] * dp[..., 2:3]) / den[..., None]
+        return y, dy
 
     def unproject(self, y):
-        y = jnp.asarray(np.asarray(y, dtype=default_dtype))
-        return np.asarray(cm.pinhole_unproject(jnp.asarray(self._K_inv), y))
+        y = np.asarray(y, dtype=default_dtype)
+        ones = np.ones(y.shape[:-1] + (1,), dtype=y.dtype)
+        return np.concatenate([y, ones], axis=-1) @ self._K_inv.T
 
 
 class AtanCamera(PinholeCamera):
@@ -78,15 +91,42 @@ class AtanCamera(PinholeCamera):
         self._wc = np.asarray(value, dtype=default_dtype).reshape(2)
 
     def evaluate_projection(self, X, dX, derive=True):
-        X = jnp.asarray(np.asarray(X, dtype=default_dtype))
-        dX = jnp.asarray(np.asarray(dX, dtype=default_dtype))
-        y, dy = cm.atan_evaluate(
-            jnp.asarray(self._K), jnp.asarray(self.wc), self.gamma, X, dX
-        )
-        return np.asarray(y), (np.asarray(dy) if derive else np.zeros(2))
+        # atan_camera.h:54-103: Devernay-Faugeras FOV model with analytic
+        # derivative propagation.
+        X = np.asarray(X, dtype=default_dtype)
+        gamma = self.gamma
+        wc = self._wc
+        A = X[..., :2] / (X[..., 2:3] + _EPS)
+        L = A - wc
+        r = np.sqrt(np.sum(L * L, axis=-1) + _EPS)
+        f = np.arctan(r * gamma) / gamma
+        g = L / r[..., None]
+        Yxy = wc + f[..., None] * g
+        ones = np.ones(Yxy.shape[:-1] + (1,), dtype=Yxy.dtype)
+        y = (np.concatenate([Yxy, ones], axis=-1) @ self._K.T)[..., :2]
+        if not derive:
+            return y, np.zeros(2)
+        dX = np.asarray(dX, dtype=default_dtype)
+        z2 = X[..., 2] * X[..., 2] + _EPS
+        dx = (dX[..., 0] * X[..., 2] - X[..., 0] * dX[..., 2]) / z2
+        dyv = (dX[..., 1] * X[..., 2] - X[..., 1] * dX[..., 2]) / z2
+        common = g[..., 0] * dx + g[..., 1] * dyv
+        df = common / (1.0 + gamma * gamma * r * r)
+        dgu = (dx * r - L[..., 0] * common) / (r * r)
+        du = f * dgu + df * g[..., 0]
+        dgv = (dyv * r - L[..., 1] * common) / (r * r)
+        dv = f * dgv + df * g[..., 1]
+        zeros = np.zeros_like(du)
+        dvec = np.stack([du, dv, zeros], axis=-1)
+        dy = (dvec @ self._K.T)[..., :2]
+        return y, dy
 
     def unproject(self, y):
-        y = jnp.asarray(np.asarray(y, dtype=default_dtype))
-        return np.asarray(
-            cm.atan_unproject(jnp.asarray(self._K_inv), jnp.asarray(self.wc), self.gamma, y)
-        )
+        y = np.asarray(y, dtype=default_dtype)
+        ones = np.ones(y.shape[:-1] + (1,), dtype=y.dtype)
+        phn = np.concatenate([y, ones], axis=-1) @ self._K_inv.T
+        L = phn[..., :2] - self._wc
+        r = np.sqrt(np.sum(L * L, axis=-1) + _EPS)
+        f = np.tan(r * self.gamma) / self.gamma
+        Yxy = self._wc + f[..., None] * L / r[..., None]
+        return np.concatenate([Yxy, ones], axis=-1)

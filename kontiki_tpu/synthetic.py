@@ -13,6 +13,9 @@ Everything returned is built from the public object API (trajectories,
 sensors, sfm, measurements), so the generated problems flow through the same
 problem compiler as user code.
 """
+import functools
+from contextlib import contextmanager
+
 import numpy as np
 
 from .config import default_dtype
@@ -28,6 +31,33 @@ from .sensors import AtanCamera, BasicImu, ConstantBiasImu, PinholeCamera
 from .sfm import Landmark, View
 from .trajectories import SplitTrajectory, UniformSO3SplineTrajectory
 from .constants import GRAVITY
+
+
+@contextmanager
+def _on_host_cpu():
+    """Run generation math on the host CPU device.
+
+    Problem generation is many small batched evaluations; on a remote-TPU
+    backend each would pay dispatch latency and compile time for no benefit.
+    The *solver* still runs wherever the caller put the problem arrays."""
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:
+        yield
+        return
+    with jax.default_device(cpu):
+        yield
+
+
+def _host_generation(fn):
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _on_host_cpu():
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def _smooth_noise(rng, n, dim, scale, smooth=4):
@@ -114,6 +144,7 @@ def _body_imu(traj, ts):
     return np.asarray(w_body), np.asarray(a_body)
 
 
+@_host_generation
 def make_imu_measurements(traj, imu, t1, t2, rate, noise=0.0, seed=0, gyro=True, accel=True):
     rng = np.random.default_rng(seed)
     ts = np.arange(t1, t2, 1.0 / rate)
@@ -131,6 +162,7 @@ def make_imu_measurements(traj, imu, t1, t2, rate, noise=0.0, seed=0, gyro=True,
     return ms
 
 
+@_host_generation
 def make_gyro_problem(duration=5.0, rate=200.0, knot_dt=0.1, seed=0, noise=0.0,
                       sigma_q=0.05):
     """BASELINE config 1: gyro-only SO3 spline fit."""
@@ -143,6 +175,7 @@ def make_gyro_problem(duration=5.0, rate=200.0, knot_dt=0.1, seed=0, noise=0.0,
     return dict(trajectory=traj, true_trajectory=true_traj, imu=imu, measurements=ms)
 
 
+@_host_generation
 def make_imu_problem(duration=5.0, rate=200.0, knot_dt=0.1, seed=0, noise=0.0,
                      bias=True, sigma_p=0.05, sigma_q=0.02):
     """BASELINE config 2: full IMU fusion on a split trajectory."""
@@ -216,6 +249,7 @@ def _rs_fixed_point(traj, camera, X_world, t0s, iters=25):
     return np.asarray(uv), np.asarray(z), np.asarray(converged & inside)
 
 
+@_host_generation
 def make_rsvi_problem(
     nviews=10,
     nlandmarks=40,
@@ -320,6 +354,7 @@ def make_rsvi_problem(
     )
 
 
+@_host_generation
 def trajectory_ate(traj_a, traj_b, t1, t2, n=200):
     """RMS position error between two trajectories on [t1, t2)."""
     ts = np.linspace(t1, t2, n, endpoint=False)
