@@ -198,7 +198,15 @@ def _zero_deltas(spec, bspec, tags, sensor, rho, vt, dtype):
     return z
 
 
-def _flatten_blocks(spec, bspec, tags, J_tree, i_bases_by_tag, sensor_cols, rho_col, vt_col):
+def _flatten_blocks(
+    spec, bspec, tags, J_tree, i_bases_by_tag, sensor_cols, rho_col, vt_col,
+    split_rho=False,
+):
+    """Flatten per-delta Jacobian blocks into (J [r, C], cols [C]).
+
+    With ``split_rho=True`` the landmark inverse-depth column is returned
+    separately as ``J_rho [r]`` (or None) instead of being concatenated —
+    the form the Schur-elimination assembly consumes."""
     Js, cols = [], []
     for tag in tags:
         ib = i_bases_by_tag[tag]
@@ -212,13 +220,21 @@ def _flatten_blocks(spec, bspec, tags, J_tree, i_bases_by_tag, sensor_cols, rho_
     if sensor_cols is not None:
         Js.append(J_tree["sensor"].reshape(-1, SENSOR_TANGENT_DIM))
         cols.append(sensor_cols)
+    J_rho = None
     if rho_col is not None:
-        Js.append(J_tree["rho"].reshape(-1, 1))
-        cols.append(rho_col[None])
+        if split_rho:
+            J_rho = J_tree["rho"].reshape(-1)
+        else:
+            Js.append(J_tree["rho"].reshape(-1, 1))
+            cols.append(rho_col[None])
     if vt_col is not None:
         Js.append(J_tree["vt"].reshape(-1, 1))
         cols.append(vt_col[None])
-    return jnp.concatenate(Js, axis=1), jnp.concatenate(cols)
+    J = jnp.concatenate(Js, axis=1)
+    cols = jnp.concatenate(cols)
+    if split_rho:
+        return J, cols, J_rho
+    return J, cols
 
 
 # ---------------------------------------------------------------------------
@@ -408,9 +424,10 @@ def _huber_prime(s, c):
 # assembled program, cached on ProblemSpec
 # ---------------------------------------------------------------------------
 
-def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac):
+def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac,
+                  split_rho=False):
     """Residuals (and optionally local Jacobians + column indices) for one
-    bucket."""
+    bucket. ``split_rho`` separates the landmark column (Schur path)."""
     tags = flags["tags"]
     dtype = runtime["mask"].dtype
 
@@ -452,10 +469,11 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac):
         vt_col = (
             (spec.vt_offset + row["vt_idx"]).astype(jnp.int32) if flags["vt"] else None
         )
-        J, cols = _flatten_blocks(
-            spec, bspec, tags, J_tree, i_bases_by_tag, sensor_cols, rho_col, vt_col
+        out = _flatten_blocks(
+            spec, bspec, tags, J_tree, i_bases_by_tag, sensor_cols, rho_col, vt_col,
+            split_rho=split_rho,
         )
-        return r, J, cols
+        return (r,) + tuple(out)
 
     return jax.vmap(row_fn)(data)
 

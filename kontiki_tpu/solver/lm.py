@@ -28,6 +28,21 @@ from .kernels import make_step
 from .problem import Problem
 
 
+def _make_step(problem, strategy):
+    """Pick the linear-solver strategy (Ceres SPARSE_SCHUR analogue).
+
+    'auto' eliminates landmarks whenever there are any — matching the
+    reference's always-SPARSE_SCHUR configuration
+    (trajectory_estimator.h:40)."""
+    if strategy == "auto":
+        strategy = "schur" if len(problem.landmarks) else "dense"
+    if strategy == "schur":
+        from .schur import make_schur_step
+
+        return make_schur_step(problem)
+    return make_step(problem)
+
+
 def solve(
     problem: Problem,
     max_iterations=50,
@@ -40,6 +55,7 @@ def solve(
     initial_trust_region_radius=1e4,
     max_trust_region_radius=1e16,
     min_trust_region_radius=1e-32,
+    strategy="auto",
 ):
     """Run LM on a compiled problem. Returns (final_state, Summary)."""
     t_start = time.time()
@@ -62,7 +78,7 @@ def solve(
         summary.total_time_in_seconds = time.time() - t_start
         return state, summary
 
-    step, total_cost = make_step(problem)
+    step, total_cost = _make_step(problem, strategy)
 
     mu = initial_trust_region_radius
     decrease_factor = 2.0
@@ -192,12 +208,13 @@ def solve(
     return state, summary
 
 
-def make_fused_solver(problem: Problem, max_iterations=50, function_tolerance=1e-6):
+def make_fused_solver(problem: Problem, max_iterations=50, function_tolerance=1e-6,
+                      strategy="auto"):
     """Fully on-device LM via lax.while_loop (no host round-trips).
 
     Used by benchmarks and the multi-chip path; no callbacks. Returns a
     jittable function state -> (state, final_cost, iterations_run)."""
-    step, total_cost = make_step(problem)
+    step, total_cost = _make_step(problem, strategy)
 
     def cond(carry):
         state, mu, dec, cost, it, done = carry
