@@ -268,3 +268,66 @@ class LiftingRsCameraMeasurement:
         e[:2] = self.observation.uv - self.project(trajectory)
         e[2] = self.camera.rows * (self.vt - self.vt_orig)
         return self.weight * e
+
+
+# ---------------------------------------------------------------------------
+# Batch (struct-of-arrays) measurement containers — the large-problem fast
+# path. The reference adds measurements one Python object at a time
+# (py_trajectory_estimator.cc:77-78); at the 10^5-measurement scale of
+# BASELINE.json config 5 that per-object loop dominates problem compilation,
+# so these containers carry dense arrays end-to-end: the problem compiler
+# bulk-activates knot windows through the native C++ layer
+# (kontiki_tpu.native) and splices the arrays straight into bucket SoA form.
+# ---------------------------------------------------------------------------
+
+
+class _ImuMeasurements:
+    """Base batch IMU container: times [M] (sorted), values [M, 3],
+    scalar or [M] weights."""
+
+    _value_field = "y"
+
+    def __init__(self, imu, t, y, weight=1.0):
+        self.imu = imu
+        self.t = np.ascontiguousarray(t, dtype=default_dtype)
+        y = np.ascontiguousarray(y, dtype=default_dtype)
+        if y.shape != (len(self.t), 3):
+            raise ValueError(f"values must be [{len(self.t)}, 3], got {y.shape}")
+        if len(self.t) > 1 and np.any(np.diff(self.t) < 0):
+            raise ValueError("batch measurement times must be sorted")
+        setattr(self, self._value_field, y)
+        self.weight = np.broadcast_to(
+            np.asarray(weight, dtype=default_dtype), (len(self.t),)
+        ).copy()
+
+    def __len__(self):
+        return len(self.t)
+
+    def error(self, trajectory):
+        return self.weight[:, None] * (
+            getattr(self, self._value_field) - self.measure(trajectory)
+        )
+
+
+class GyroscopeMeasurements(_ImuMeasurements):
+    """Batch of body-frame angular-rate measurements (SoA form of
+    GyroscopeMeasurement; same residual semantics,
+    gyroscope_measurement.h:26-105)."""
+
+    _value_field = "w"
+
+    def measure(self, trajectory):
+        return np.stack([self.imu.gyroscope(trajectory, t) for t in self.t])
+
+
+class AccelerometerMeasurements(_ImuMeasurements):
+    """Batch of body-frame specific-force measurements (SoA form of
+    AccelerometerMeasurement, accelerometer_measurement.h:17-114)."""
+
+    _value_field = "a"
+
+    def measure(self, trajectory):
+        return np.stack([self.imu.accelerometer(trajectory, t) for t in self.t])
+
+
+__all__ += ["GyroscopeMeasurements", "AccelerometerMeasurements"]

@@ -637,7 +637,7 @@ def problem_spec(problem) -> ProblemSpec:
         kind = key.split(":")[0]
         windows = tuple(b.window[sp.kind] for sp in problem.splines)
         camera = b.camera_cls.__name__ if b.camera_cls is not None else ""
-        M = len(b.measurements)
+        M = len(b.measurements) + sum(len(m) for m, _ in b.batches)
         buckets.append(BucketSpec(kind, camera, M, b.rdim, windows))
     return ProblemSpec(
         splines=splines,

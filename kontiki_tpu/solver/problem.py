@@ -27,9 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import default_dtype
+from .. import native
 from ..measurements import (
     AccelerometerMeasurement,
+    AccelerometerMeasurements,
     GyroscopeMeasurement,
+    GyroscopeMeasurements,
     LiftingRsCameraMeasurement,
     NewtonRsCameraMeasurement,
     OrientationMeasurement,
@@ -91,6 +94,9 @@ class Bucket:
 
     kind: str
     measurements: list = field(default_factory=list)
+    #: batch (SoA) containers appended after the per-object rows;
+    #: list of (container, sensor_id)
+    batches: list = field(default_factory=list)
     data: Dict[str, np.ndarray] = field(default_factory=dict)
     #: static per-bucket window width per spline kind
     window: Dict[str, int] = field(default_factory=dict)
@@ -125,7 +131,7 @@ class Problem:
         self._lifting: list = []
 
         for sp in self.splines:
-            sp.active = np.zeros(max(sp.n, 0), dtype=bool)
+            sp.active = np.zeros(max(sp.n, 0), dtype=np.uint8)
 
         for m in self.measurements:
             self._add(m)
@@ -150,29 +156,28 @@ class Problem:
         return self._landmark_index[id(lm)]
 
     def _check_spans(self, spans):
-        """Reference CheckTimeSpans (trajectory_estimator.h:97-122)."""
-        tmin = self.trajectory.min_time
-        tmax = self.trajectory.max_time
-        prev = None
-        for t1, t2 in spans:
-            if t1 < tmin or t2 >= tmax:
-                raise ValueError("Time span out of range for trajectory")
-            if t1 > t2:
-                raise ValueError("At least one time span begins before it ends")
-            if prev is not None and t1 < prev:
-                raise ValueError("Time spans are not ordered")
-            prev = t1
+        """Reference CheckTimeSpans (trajectory_estimator.h:97-122); native
+        C++ when available (kontiki_tpu.native)."""
+        t1 = np.fromiter((a for a, _ in spans), dtype=np.float64)
+        t2 = np.fromiter((b for _, b in spans), dtype=np.float64)
+        native.check_spans(t1, t2, self.trajectory.min_time, self.trajectory.max_time)
 
     def _activate(self, spans):
         """Mark active knots for every spline (spline_base.h:361-404)."""
         self._check_spans(spans)
+        t1 = np.fromiter((a for a, _ in spans), dtype=np.float64)
+        t2 = np.fromiter((b for _, b in spans), dtype=np.float64)
         for sp in self.splines:
-            for t1, t2 in spans:
-                i1 = int(math.floor((t1 - sp.t0) / sp.dt))
-                i2 = int(math.floor((t2 - sp.t0) / sp.dt))
-                lo = max(i1, 0)
-                hi = min(i2 + 4, sp.n)
-                sp.active[lo:hi] = True
+            native.activate_spans(t1, t2, sp.t0, sp.dt, sp.n, active=sp.active)
+
+    def _activate_points(self, t, slack):
+        """Fused check+activate for a sorted batch of point measurements at
+        times ``t`` with symmetric ``slack`` (the IMU fast path)."""
+        tmin = self.trajectory.min_time
+        tmax = self.trajectory.max_time
+        for sp in self.splines:
+            native.activate_points(t, slack, tmin, tmax, sp.t0, sp.dt, sp.n,
+                                   active=sp.active)
 
     def _bucket(self, key, rdim, camera_cls=None):
         if key not in self.buckets:
@@ -197,7 +202,16 @@ class Problem:
         ]
 
     def _add(self, m):
-        if isinstance(m, PositionMeasurement):
+        if isinstance(m, (GyroscopeMeasurements, AccelerometerMeasurements)):
+            # Batch fast path: one native activation pass for the whole
+            # container, arrays spliced into the bucket at finalize time.
+            imu = m.imu
+            s = self._sensor_id(imu)
+            slack = 0.0 if imu.time_offset_locked else imu.max_time_offset
+            self._activate_points(m.t, slack)
+            key = "gyro" if isinstance(m, GyroscopeMeasurements) else "accel"
+            self._bucket(key, 3).batches.append((m, s))
+        elif isinstance(m, PositionMeasurement):
             self._activate([(m.t, m.t)])
             self._bucket("position", 3).measurements.append(m)
         elif isinstance(m, OrientationMeasurement):
@@ -342,13 +356,24 @@ class Problem:
                     b.window[sp.kind] = self._window_width(sp)
             elif kind in ("gyro", "accel"):
                 ms = [m for m, _ in b.measurements]
-                sids = np.array([s for _, s in b.measurements], dtype=np.int32)
-                b.data["t"] = np.array([m.t for m in ms], dtype=dd)
-                b.data["y"] = np.stack(
-                    [m.w if kind == "gyro" else m.a for m in ms]
-                ).astype(dd)
-                b.data["weight"] = np.array([m.weight for m in ms], dtype=dd)
-                b.data["sid"] = sids
+                val = "w" if kind == "gyro" else "a"
+                ts = [np.array([m.t for m in ms], dtype=dd)]
+                ys = [
+                    np.stack([getattr(m, val) for m in ms]).astype(dd)
+                    if ms
+                    else np.zeros((0, 3), dtype=dd)
+                ]
+                weights = [np.array([m.weight for m in ms], dtype=dd)]
+                sids = [np.array([s for _, s in b.measurements], dtype=np.int32)]
+                for batch, s in b.batches:
+                    ts.append(batch.t.astype(dd))
+                    ys.append(getattr(batch, val).astype(dd))
+                    weights.append(batch.weight.astype(dd))
+                    sids.append(np.full(len(batch), s, dtype=np.int32))
+                b.data["t"] = np.concatenate(ts)
+                b.data["y"] = np.concatenate(ys)
+                b.data["weight"] = np.concatenate(weights)
+                b.data["sid"] = np.concatenate(sids)
                 # Windows are re-centered at the current time offset every
                 # linearization, so no slack is needed for IMU buckets.
                 for sp in self.splines:
@@ -420,9 +445,13 @@ class Problem:
         self.num_parameters_reduced = sum(s for s, const in blocks if not const)
         self.num_parameter_blocks_reduced = sum(1 for _, const in blocks if not const)
 
-        self.num_residual_blocks = len(self.measurements)
+        self.num_residual_blocks = sum(
+            len(b.measurements) + sum(len(m) for m, _ in b.batches)
+            for b in self.buckets.values()
+        )
         self.num_residuals = sum(
-            b.rdim * len(b.measurements) for b in self.buckets.values()
+            b.rdim * (len(b.measurements) + sum(len(m) for m, _ in b.batches))
+            for b in self.buckets.values()
         )
         # A residual block survives reduction iff >=1 of its params is free.
         # Trajectory knots dominate every residual here, so the test that
@@ -432,6 +461,21 @@ class Problem:
         self.num_residuals_reduced = 0
         for b in self.buckets.values():
             kind = b.kind.split(":")[0]
+            for batch, s in b.batches:
+                sensor = self.sensors[s]
+                free = any_free_traj or not (
+                    sensor.relative_orientation_locked
+                    and sensor.relative_position_locked
+                    and sensor.time_offset_locked
+                )
+                if isinstance(sensor, ConstantBiasImu):
+                    free = free or not (
+                        sensor.accelerometer_bias_locked
+                        and sensor.gyroscope_bias_locked
+                    )
+                if free:
+                    self.num_residual_blocks_reduced += len(batch)
+                    self.num_residuals_reduced += b.rdim * len(batch)
             for entry in b.measurements:
                 m = entry[0] if isinstance(entry, tuple) else entry
                 free = any_free_traj
