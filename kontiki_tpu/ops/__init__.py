@@ -5,4 +5,4 @@ signatures as the jnp reference paths in :mod:`kontiki_tpu.trajectories.
 spline_eval`; callers select them explicitly or via ``use_pallas='auto'``
 wrappers which fall back to the XLA path off-TPU.
 """
-from .spline_kernels import r3_evaluate_pallas, so3_compose_pallas  # noqa: F401
+from .spline_kernels import r3_evaluate_pallas  # noqa: F401

@@ -33,8 +33,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..trajectories.spline_eval import M_BASIS
-
 #: time-chunk and knot-slice sizes; (8, 128)-aligned for f32 tiles.
 TB = 256
 KB = 512
@@ -60,14 +58,40 @@ def _r3_kernel(scalars_ref, kb_elem_ref, kb_block_ref, ts_ref, knots_ref, out_re
     i0 = jnp.clip(jnp.floor(s).astype(jnp.int32), 0, n - 4)
     u = s - i0.astype(s.dtype)
 
-    one = jnp.ones_like(u)
-    zero = jnp.zeros_like(u)
+    # Cubic basis as explicit polynomials in u (columns of [1,u,u2,u3] @ M,
+    # M from spline_base.h:18-22). Written out so the kernel contains only
+    # scalar constants — Pallas rejects captured non-scalar arrays.
     u2 = u * u
+    u3 = u2 * u
     dti = 1.0 / dt
-    M = M_BASIS.astype(t.dtype)
-    B = jnp.stack([one, u, u2, u2 * u], axis=-1) @ M
-    dB = dti * (jnp.stack([zero, one, 2.0 * u, 3.0 * u2], axis=-1) @ M)
-    d2B = (dti * dti) * (jnp.stack([zero, zero, 2.0 * one, 6.0 * u], axis=-1) @ M)
+    c6 = 1.0 / 6.0
+    B = jnp.stack(
+        [
+            c6 * (1.0 - 3.0 * u + 3.0 * u2 - u3),
+            c6 * (4.0 - 6.0 * u2 + 3.0 * u3),
+            c6 * (1.0 + 3.0 * u + 3.0 * u2 - 3.0 * u3),
+            c6 * u3,
+        ],
+        axis=-1,
+    )
+    dB = dti * jnp.stack(
+        [
+            c6 * (-3.0 + 6.0 * u - 3.0 * u2),
+            c6 * (-12.0 * u + 9.0 * u2),
+            c6 * (3.0 + 6.0 * u - 9.0 * u2),
+            c6 * (3.0 * u2),
+        ],
+        axis=-1,
+    )
+    d2B = (dti * dti) * jnp.stack(
+        [
+            1.0 - u,
+            c6 * (-12.0 + 18.0 * u),
+            c6 * (6.0 - 18.0 * u),
+            u,
+        ],
+        axis=-1,
+    )
 
     # Banded basis matrix on the VPU: W[b, k] = basis[b, j] at k == l0[b]+j.
     l0 = jnp.clip(i0 - kb, 0, KB - 4)
@@ -189,9 +213,3 @@ def r3_evaluate_pallas(knots, t0, dt, ts, interpret=None):
     return p, v, a
 
 
-def so3_compose_pallas(*args, **kwargs):  # pragma: no cover - placeholder
-    raise NotImplementedError(
-        "SO3 cumulative composition is elementwise VPU work; the XLA path "
-        "(spline_eval.so3_evaluate) is already fused. Kept as a named hook "
-        "for a future hand-scheduled version."
-    )
