@@ -44,6 +44,9 @@ __all__ = [
     "make_sharded_functions",
     "make_sharded_step",
     "make_sharded_solver",
+    "make_sharded_schur_functions",
+    "make_sharded_schur_step",
+    "make_sharded_schur_solver",
 ]
 
 MEASUREMENT_AXIS = "m"
@@ -201,3 +204,12 @@ def make_sharded_solver(problem, mesh, max_iterations=50, function_tolerance=1e-
         return state, cost, it
 
     return jax.jit(solve_fn)
+
+
+# Landmark-block-sharded Schur elimination (imported last: schur.py uses the
+# helpers above).
+from .schur import (  # noqa: E402
+    make_sharded_schur_functions,
+    make_sharded_schur_step,
+    make_sharded_schur_solver,
+)

@@ -40,6 +40,10 @@ def _make_step(problem, strategy):
         from .schur import make_schur_step
 
         return make_schur_step(problem)
+    if strategy == "iterative_schur":
+        from .iterative import make_iterative_step
+
+        return make_iterative_step(problem)
     return make_step(problem)
 
 

@@ -43,13 +43,21 @@ from .kernels import (
 
 
 @functools.lru_cache(maxsize=None)
-def build_schur_parts(spec, x64: bool):
+def build_schur_parts(spec, x64: bool, local_L: int = 0):
     """Raw solver functions with per-landmark Schur elimination.
 
     Same contract as ``kernels.build_parts`` (total_cost / linearize /
     retract / step), but ``linearize`` returns the split blocks
     ``(cost, H_cc, g_c, E, D, g_l)`` and ``step`` performs the damped
-    Schur solve."""
+    Schur solve.
+
+    With ``local_L > 0`` the landmark blocks ``E/D/g_l`` have leading
+    dimension ``local_L`` and rows are scattered by ``data["lid_local"]``,
+    with the landmark lock mask read from ``runtime["mask_l"]`` — the form
+    the multi-chip layer uses inside ``shard_map``, where each device owns a
+    contiguous block of landmarks (landmark-block sharding, SURVEY §2.10.3)
+    and only ``cost/H_cc/g_c`` are psum-reduced. The full-matrix landmark
+    columns of the Hessian are never materialized on any device."""
     residuals = [_make_residual(spec, b) for b in spec.buckets]
     L = spec.num_landmarks
     P = spec.num_tangent
@@ -73,11 +81,14 @@ def build_schur_parts(spec, x64: bool):
     def linearize(runtime, state):
         dtype = runtime["mask"].dtype
         mask_c, mask_l = split_mask(runtime["mask"])
+        E_rows = local_L or L
+        if local_L:
+            mask_l = runtime["mask_l"]
         H_cc = jnp.zeros((Pc, Pc), dtype)
         g_c = jnp.zeros((Pc,), dtype)
-        E = jnp.zeros((L, Pc), dtype)
-        D = jnp.zeros((L,), dtype)
-        g_l = jnp.zeros((L,), dtype)
+        E = jnp.zeros((E_rows, Pc), dtype)
+        D = jnp.zeros((E_rows,), dtype)
+        g_l = jnp.zeros((E_rows,), dtype)
         cost = jnp.zeros((), dtype)
         for bspec, (res, flags), data in zip(spec.buckets, residuals, runtime["data"]):
             out = _bucket_terms(
@@ -111,7 +122,7 @@ def build_schur_parts(spec, x64: bool):
             g_c = g_c + Jd2.T @ rw.reshape(-1)
 
             if J_rho is not None:
-                lid = data["lid"]
+                lid = data["lid_local"] if local_L else data["lid"]
                 Jw_rho = J_rho * sq[:, None] * mask_l[lid][:, None]
                 E = E.at[lid].add(jnp.einsum("mr,mrp->mp", Jw_rho, Jd))
                 D = D.at[lid].add(jnp.sum(Jw_rho * Jw_rho, axis=1))

@@ -355,9 +355,23 @@ def make_rsvi_problem(
 
 
 @_host_generation
-def trajectory_ate(traj_a, traj_b, t1, t2, n=200):
-    """RMS position error between two trajectories on [t1, t2)."""
+def trajectory_ate(traj_a, traj_b, t1, t2, n=200, align=False):
+    """RMS position error between two trajectories on [t1, t2).
+
+    With ``align=True`` an SE3 (rotation + translation, no scale) alignment
+    is removed first — the standard ATE convention, and required whenever the
+    problem has a gauge freedom (pure visual(-inertial) estimation leaves
+    global translation and yaw unobservable; only the *shape* of the
+    trajectory is determined)."""
     ts = np.linspace(t1, t2, n, endpoint=False)
     pa = np.asarray(traj_a._eval(ts)["position"])
     pb = np.asarray(traj_b._eval(ts)["position"])
+    if align:
+        ca, cb = pa.mean(axis=0), pb.mean(axis=0)
+        A, B = pa - ca, pb - cb
+        U, _, Vt = np.linalg.svd(B.T @ A)
+        d = np.sign(np.linalg.det(U @ Vt))
+        R = U @ np.diag([1.0, 1.0, d]) @ Vt
+        pa = (R @ A.T).T
+        pb = B
     return float(np.sqrt(np.mean(np.sum((pa - pb) ** 2, axis=-1))))

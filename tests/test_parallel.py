@@ -73,3 +73,58 @@ def test_padding_is_inert(rsvi_problem, mesh):
     np.testing.assert_allclose(
         float(sc(rsvi_problem.state0)), float(cost_fn(rsvi_problem.state0)), rtol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# landmark-block-sharded Schur elimination (SURVEY §2.10.3)
+# ---------------------------------------------------------------------------
+
+def test_sharded_schur_step_matches_single(rsvi_problem, mesh):
+    from kontiki_tpu.solver.schur import make_schur_step
+
+    step1, _ = make_schur_step(rsvi_problem)
+    step8, cost8 = parallel.make_sharded_schur_step(rsvi_problem, mesh)
+    for lam in (1e-4, 1e-1):
+        c1, s1, nc1, p1, d1, g1 = step1(rsvi_problem.state0, lam)
+        c8, s8, nc8, p8, d8, g8 = step8(rsvi_problem.state0, lam)
+        np.testing.assert_allclose(float(c8), float(c1), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(float(nc8), float(nc1), rtol=1e-8)
+        np.testing.assert_allclose(float(p8), float(p1), rtol=1e-8)
+        np.testing.assert_allclose(float(g8), float(g1), rtol=1e-10)
+        for k in s1:
+            np.testing.assert_allclose(
+                np.asarray(s8[k]), np.asarray(s1[k]), rtol=1e-7, atol=1e-10
+            )
+
+
+def test_sharded_schur_blocks_are_landmark_sharded(rsvi_problem, mesh):
+    # E/D/g_l must come back sharded over the landmark axis — no device
+    # holds the full [L, Pc] block.
+    from kontiki_tpu.parallel.schur import (
+        _pad_state,
+        make_sharded_schur_functions,
+    )
+
+    cost_fn, lin_fn, _, _, layout, _, _ = make_sharded_schur_functions(
+        rsvi_problem, mesh
+    )
+    st = _pad_state(rsvi_problem.state0, layout)
+    _, _, _, E, D, g_l = lin_fn(st)
+    assert E.shape == (layout["L_pad"], E.shape[1])
+    n = mesh.devices.size
+    for arr in (E, D, g_l):
+        shard_rows = {s.data.shape[0] for s in arr.addressable_shards}
+        assert shard_rows == {layout["Lb"]}, (arr.shape, shard_rows)
+
+
+def test_sharded_schur_solver_converges(rsvi_problem, mesh):
+    from kontiki_tpu.solver.kernels import make_functions
+
+    solver = parallel.make_sharded_schur_solver(
+        rsvi_problem, mesh, max_iterations=25
+    )
+    state, cost, it = solver(rsvi_problem.state0)
+    cost_fn, _ = make_functions(rsvi_problem)
+    c0 = float(cost_fn(rsvi_problem.state0))
+    assert float(cost) < 1e-6 * c0
