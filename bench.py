@@ -1,23 +1,30 @@
-"""Headline benchmark: LM (bundle-adjustment) iterations/sec on the flagship
-rolling-shutter visual-inertial problem (BASELINE.json config 4).
+"""Benchmark matrix: LM (bundle-adjustment) iterations/sec on all five
+BASELINE.json configs, headline = config 4 (rolling-shutter visual-inertial
+on the SE3 spline).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "configs": {...}, "sharding_efficiency_cpu8": E}
 
 One LM iteration = batched residual+Jacobian evaluation of every measurement,
-Gauss-Newton normal-equation assembly, damped solve, manifold retraction,
-re-cost, and the trust-region accept/reject update — the exact per-iteration
-work Ceres does for the reference (trajectory_estimator.h:38-64). The whole
-LM loop runs as ONE on-device ``lax.while_loop`` program (no host round
-trips), so the number is device throughput, not dispatch latency.
+Gauss-Newton assembly (dense, exact-Schur, or matrix-free iterative-Schur
+depending on config), damped solve, manifold retraction, re-cost, and the
+trust-region update — the per-iteration work Ceres does for the reference
+(trajectory_estimator.h:38-64). Each config's LM loop runs as ONE on-device
+``lax.while_loop`` program, so numbers are device throughput, not dispatch.
 
 Baseline: the reference publishes no numbers and cannot be built in this
-image (no Ceres). Per BASELINE.md the baseline is *measured*: we use this
-machine's CPU as the stand-in for "CPU Ceres" by running the identical
-problem through this framework's own solver on the JAX CPU backend (same
-algorithm, XLA-vectorized, all cores). The measured CPU number is cached in
-BASELINE_MEASURED.json; delete it to re-measure.
-vs_baseline = device iterations/sec / CPU iterations/sec.
+image (no Ceres). Per BASELINE.md the baseline is *measured*: the identical
+problems run through this framework's own solver on the JAX CPU backend
+(same algorithm, XLA-vectorized, all cores) stand in for "CPU Ceres".
+Baselines are cached in BASELINE_MEASURED.json; delete it to re-measure.
+vs_baseline = TPU iterations/sec / CPU iterations/sec (config 4).
+
+"sharding_efficiency_cpu8" exercises the multi-chip code path on the
+8-virtual-device CPU mesh: T_1dev / T_8dev for the same total work. The
+devices share the same host cores, so the ideal value is 1.0 and the
+deviation measures collective + padding overhead of the sharded program
+(real cross-chip scaling needs a pod; see parallel/distributed.py).
 """
 import json
 import os
@@ -29,13 +36,77 @@ from pathlib import Path
 HERE = Path(__file__).resolve().parent
 CACHE = HERE / "BASELINE_MEASURED.json"
 
-# Flagship problem size: ~2s of trajectory at 30 fps, 200 landmarks,
-# 200 Hz IMU -> ~10k residual blocks, a few hundred tangent dims.
-SIZE = dict(nviews=64, nlandmarks=200, imu_rate=200.0, seed=3)
-MAX_ITERS = 25
+MAX_ITERS = {"config1": 25, "config2": 25, "config3": 25, "config4": 25, "config5": 10}
 
 
-def measure_iterations_per_sec(force_cpu=False):
+def _build_solver(name):
+    """Build (solver_fn, state0) for one BASELINE config."""
+    from kontiki_tpu import parallel
+    from kontiki_tpu.solver.lm import make_fused_solver
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import (
+        make_big_ba_problem,
+        make_gyro_problem,
+        make_imu_problem,
+        make_rsvi_problem,
+    )
+
+    iters = MAX_ITERS[name]
+    if name == "config1":  # gyro-only SO3 spline fit
+        prob = make_gyro_problem(duration=5.0, rate=200.0, seed=1)
+        problem = Problem(prob["trajectory"], prob["measurements"])
+        return make_fused_solver(problem, iters, function_tolerance=0.0), problem.state0
+    if name == "config2":  # full IMU fusion, split R3/SO3, gravity + bias
+        prob = make_imu_problem(duration=5.0, rate=200.0, seed=2)
+        problem = Problem(prob["trajectory"], prob["measurements"])
+        return make_fused_solver(problem, iters, function_tolerance=0.0), problem.state0
+    if name == "config3":  # global-shutter SfM, Schur elimination
+        prob = make_rsvi_problem(nviews=32, nlandmarks=200, imu_rate=0.0, seed=3)
+        problem = Problem(prob["trajectory"], prob["measurements"])
+        return (
+            make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
+            problem.state0,
+        )
+    if name == "config4":  # rolling-shutter VI on the SE3 spline (flagship)
+        prob = make_rsvi_problem(
+            nviews=64, nlandmarks=200, imu_rate=200.0, seed=4, trajectory="se3"
+        )
+        problem = Problem(prob["trajectory"], prob["measurements"])
+        return (
+            make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
+            problem.state0,
+        )
+    if name == "config5":  # long-sequence BA, matrix-free iterative Schur
+        big = make_big_ba_problem(
+            n_views=1000, n_landmarks=10_000, obs_per_landmark=5, seed=5
+        )
+        problem = big["problem"]
+        mesh = parallel.default_mesh(n_devices=1)
+        solver = parallel.make_sharded_iterative_solver(
+            problem, mesh, max_iterations=iters, function_tolerance=0.0,
+            cg_tol=1e-4, cg_maxiter=50,
+        )
+        return solver, problem.state0
+    raise ValueError(name)
+
+
+def _measure(name):
+    import jax
+
+    solver, state0 = _build_solver(name)
+    out = solver(state0)  # warmup/compile
+    jax.block_until_ready(out)
+    iters_warm = int(out[2])
+    t0 = time.perf_counter()
+    out = solver(state0)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    iters = int(out[2])
+    assert iters == iters_warm and iters > 0, (name, iters, iters_warm)
+    return iters / dt
+
+
+def measure_all(force_cpu=False):
     os.environ.setdefault("KONTIKI_TPU_X64", "0")
     sys.path.insert(0, str(HERE))
     import jax
@@ -48,71 +119,107 @@ def measure_iterations_per_sec(force_cpu=False):
 
         _jeb.clear_backends()
 
-    from kontiki_tpu.solver.lm import make_fused_solver
-    from kontiki_tpu.solver.problem import Problem
-    from kontiki_tpu.synthetic import make_rsvi_problem
+    results = {}
+    for name in ("config1", "config2", "config3", "config4", "config5"):
+        results[name] = round(_measure(name), 4)
+    return results, jax.default_backend()
 
-    prob = make_rsvi_problem(**SIZE)
-    problem = Problem(prob["trajectory"], prob["measurements"])
-    solver = make_fused_solver(
-        problem, max_iterations=MAX_ITERS, function_tolerance=0.0
+
+def measure_sharding_efficiency():
+    """T_1dev / T_8dev on the virtual CPU mesh (ideal 1.0; shared cores)."""
+    import jax
+    from kontiki_tpu import parallel
+    from kontiki_tpu.synthetic import make_big_ba_problem
+
+    big = make_big_ba_problem(
+        n_views=240, n_landmarks=4000, obs_per_landmark=4, seed=7
     )
-
-    # Warmup / compile.
-    out = solver(problem.state0)
-    jax.block_until_ready(out)
-    iters_warm = int(out[2])
-
-    t0 = time.perf_counter()
-    out = solver(problem.state0)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    iters = int(out[2])
-    assert iters == iters_warm and iters > 0
-    return iters / dt, jax.default_backend()
+    problem = big["problem"]
+    times = {}
+    for n in (1, 8):
+        mesh = parallel.default_mesh(n_devices=n)
+        solver = parallel.make_sharded_iterative_solver(
+            problem, mesh, max_iterations=6, function_tolerance=0.0,
+            cg_tol=1e-4, cg_maxiter=40,
+        )
+        out = solver(problem.state0)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = solver(problem.state0)
+        jax.block_until_ready(out)
+        times[n] = time.perf_counter() - t0
+    return times[1] / times[8]
 
 
 def main():
-    if os.environ.get("_KONTIKI_BENCH_CHILD"):
-        ips, backend = measure_iterations_per_sec(force_cpu=True)
-        print(json.dumps({"cpu_iterations_per_sec": ips, "backend": backend}))
+    if os.environ.get("_KONTIKI_BENCH_CHILD") == "cpu":
+        results, backend = measure_all(force_cpu=True)
+        assert backend == "cpu", backend
+        print(json.dumps({"cpu": results}))
+        return
+    if os.environ.get("_KONTIKI_BENCH_CHILD") == "mesh":
+        os.environ.setdefault("KONTIKI_TPU_X64", "0")
+        sys.path.insert(0, str(HERE))
+        import jax
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        jax.config.update("jax_platforms", "cpu")
+        import jax.extend.backend as _jeb
+
+        _jeb.clear_backends()
+        print(json.dumps({"eff": measure_sharding_efficiency()}))
         return
 
-    value, backend = measure_iterations_per_sec()
+    results, backend = measure_all()
 
-    baseline = None
+    baselines = None
     if CACHE.exists():
         try:
-            baseline = json.loads(CACHE.read_text()).get("cpu_iterations_per_sec")
+            data = json.loads(CACHE.read_text())
+            if "configs" in data:
+                baselines = data["configs"]
         except Exception:
-            baseline = None
-    if baseline is None:
-        env = dict(os.environ)
-        env["_KONTIKI_BENCH_CHILD"] = "1"
-        env["KONTIKI_TPU_X64"] = "0"
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=1800,
-            )
-            line = out.stdout.strip().splitlines()[-1]
-            info = json.loads(line)
-            assert info["backend"] == "cpu", info
-            baseline = info["cpu_iterations_per_sec"]
-            CACHE.write_text(json.dumps({"cpu_iterations_per_sec": baseline}))
-        except Exception:
-            baseline = None
+            baselines = None
 
+    def _child(kind, timeout):
+        env = dict(os.environ)
+        env["_KONTIKI_BENCH_CHILD"] = kind
+        env["KONTIKI_TPU_X64"] = "0"
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True,
+            text=True, timeout=timeout,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    if baselines is None:
+        try:
+            baselines = _child("cpu", 3000)["cpu"]
+            CACHE.write_text(json.dumps({"configs": baselines}))
+        except Exception:
+            baselines = None
+
+    try:
+        eff = round(_child("mesh", 1800)["eff"], 3)
+    except Exception:
+        eff = None
+
+    value = results["config4"]
+    base4 = baselines.get("config4") if baselines else None
     print(
         json.dumps(
             {
-                "metric": "rs_vi_ba_iterations_per_sec",
-                "value": round(value, 3),
+                "metric": "rs_vi_se3_ba_iterations_per_sec",
+                "value": value,
                 "unit": "iterations/sec",
-                "vs_baseline": round(value / baseline, 3) if baseline else None,
+                "vs_baseline": round(value / base4, 3) if base4 else None,
+                "configs": results,
+                "cpu_baseline_configs": baselines,
+                "backend": backend,
+                "sharding_efficiency_cpu8": eff,
             }
         )
     )

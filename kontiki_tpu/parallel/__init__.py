@@ -213,3 +213,12 @@ from .schur import (  # noqa: E402
     make_sharded_schur_step,
     make_sharded_schur_solver,
 )
+from .iterative import (  # noqa: E402
+    make_sharded_iterative_step,
+    make_sharded_iterative_solver,
+)
+
+__all__ += ["make_sharded_iterative_step", "make_sharded_iterative_solver"]
+from . import distributed as distributed  # noqa: E402
+
+__all__ += ["distributed"]

@@ -159,7 +159,15 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
             g_c = g_c.at[blk["cols"]].add(
                 jnp.einsum("mrc,mr->mc", blk["Jw"], blk["rw"])
             )
-            diag = diag.at[blk["cols"]].add(jnp.sum(blk["Jw"] ** 2, axis=1))
+            # diag(H_cc) must account for duplicate column ids within a row
+            # (overlapping ref/obs knot windows alias the same knot): the
+            # true entry is (sum of duplicates)^2, which the LM damping is
+            # proportional to — and along gauge directions the damping alone
+            # determines the step, so this must match the dense path exactly.
+            cols = blk["cols"]
+            eq = (cols[:, :, None] == cols[:, None, :]).astype(blk["Jw"].dtype)
+            Jt = jnp.einsum("mrc,mcd->mrd", blk["Jw"], eq)
+            diag = diag.at[cols].add(jnp.sum(Jt * blk["Jw"], axis=1))
             if "J_rho" in blk:
                 D = D.at[blk["lid"]].add(jnp.sum(blk["J_rho"] ** 2, axis=1))
                 g_l = g_l.at[blk["lid"]].add(
@@ -326,12 +334,10 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
     def retract(runtime, state, delta):
         return _retract_state(spec, runtime, state, delta)
 
-    def step(runtime, state, lam, cg_tol=1e-10, cg_maxiter=500):
-        cost, blocks = linearize(runtime, state)
+    def solve_with_pred(runtime, blocks, lam, cg_tol, cg_maxiter):
+        """Damped PCG solve plus the LM bookkeeping (pred, grad_max)."""
         delta, cg_iters, aux = schur_solve(runtime, blocks, lam, cg_tol, cg_maxiter)
         g_c, g_l, D, dc, dl = aux
-        new_state = retract(runtime, state, delta)
-        new_cost = total_cost(runtime, new_state)
         dtype = runtime["mask"].dtype
         gTd = g_c @ dc + (g_l @ dl if L else 0.0)
         Hdc = hcc_matvec(blocks, dc)
@@ -343,6 +349,15 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
         grad_max = jnp.max(jnp.abs(g_c))
         if L:
             grad_max = jnp.maximum(grad_max, jnp.max(jnp.abs(g_l)))
+        return delta, pred, grad_max
+
+    def step(runtime, state, lam, cg_tol=1e-10, cg_maxiter=500):
+        cost, blocks = linearize(runtime, state)
+        delta, pred, grad_max = solve_with_pred(
+            runtime, blocks, lam, cg_tol, cg_maxiter
+        )
+        new_state = retract(runtime, state, delta)
+        new_cost = total_cost(runtime, new_state)
         return cost, new_state, new_cost, pred, delta, grad_max
 
     return dict(
@@ -351,6 +366,7 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
         retract=retract,
         step=step,
         schur_solve=schur_solve,
+        solve_with_pred=solve_with_pred,
         hcc_matvec=hcc_matvec,
         e_matvec=e_matvec,
         et_matvec=et_matvec,

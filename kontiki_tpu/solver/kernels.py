@@ -409,6 +409,17 @@ def _with_base_times(bspec, state, row):
 # ---------------------------------------------------------------------------
 # robust loss (Huber, Ceres semantics)
 # ---------------------------------------------------------------------------
+#
+# Ceres applies robust losses through the Triggs corrector (corrector.cc):
+# with s = |r|^2, when rho''(s) > 0 the residual and Jacobian get the full
+# second-order correction (alpha = 1 - sqrt(1 + 2 s rho''/rho')); when
+# rho''(s) <= 0 Ceres *explicitly falls back* to alpha = 0, i.e. scaling
+# both r and J by sqrt(rho'). For Huber, rho'' = 0 in the inlier region and
+# rho'' = -c/(2 s^{3/2}) < 0 in the outlier region, so the corrector is
+# sqrt(rho') scaling *everywhere* — exactly the whitening applied below.
+# The IRLS weights here therefore reproduce Ceres's Gauss-Newton system for
+# HuberLoss bit-for-bit (the only loss the reference uses,
+# static_rscamera_measurement.h:65-69); tests/test_lm_semantics.py pins this.
 
 def _huber(s, c):
     b = c * c
@@ -418,6 +429,15 @@ def _huber(s, c):
 def _huber_prime(s, c):
     b = c * c
     return jnp.where(s <= b, 1.0, c / jnp.sqrt(jnp.maximum(s, b)))
+
+
+def _huber_second(s, c):
+    """rho''(s) — never positive for Huber, so Ceres's Triggs corrector
+    reduces to sqrt(rho') scaling (see block comment above)."""
+    b = c * c
+    return jnp.where(
+        s <= b, 0.0, -0.5 * c / jnp.sqrt(jnp.maximum(s, b)) ** 3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -637,7 +657,9 @@ def problem_spec(problem) -> ProblemSpec:
         kind = key.split(":")[0]
         windows = tuple(b.window[sp.kind] for sp in problem.splines)
         camera = b.camera_cls.__name__ if b.camera_cls is not None else ""
-        M = len(b.measurements) + sum(len(m) for m, _ in b.batches)
+        M = getattr(b, "M", None)
+        if M is None:
+            M = len(b.measurements) + sum(len(m) for m, _ in b.batches)
         buckets.append(BucketSpec(kind, camera, M, b.rdim, windows))
     return ProblemSpec(
         splines=splines,

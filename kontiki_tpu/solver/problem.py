@@ -408,8 +408,9 @@ class Problem:
                 b.data["weight"] = np.array([m.weight for m in ms], dtype=dd)
                 b.data["huber_c"] = np.array([m.huber_loss for m in ms], dtype=dd)
                 if kind == "rs_lifting":
+                    lift_index = {id(lm): i for i, lm in enumerate(self._lifting)}
                     b.data["vt_idx"] = np.array(
-                        [self._lifting.index(m) for m in ms], dtype=np.int32
+                        [lift_index[id(m)] for m in ms], dtype=np.int32
                     )
                     b.data["vt_orig"] = np.array([m.vt_orig for m in ms], dtype=dd)
                 readout = max((c.readout for c in cams), default=0.0)
@@ -529,3 +530,131 @@ class Problem:
             lm.inverse_depth = float(state["rho"][li])
         for mi, m in enumerate(self._lifting):
             m.vt = float(state["vt"][mi])
+
+
+# ---------------------------------------------------------------------------
+# Raw (array-level) problems — for scales where building one Python object
+# per observation is itself the bottleneck
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RawSplineInfo:
+    """Array-backed stand-in for SplineInfo (no trajectory object)."""
+
+    kind: str
+    n: int
+    t0: float
+    dt: float
+    tangent_offset: int = 0
+
+    @property
+    def knot_dim(self):
+        return SPLINE_SPECS[self.kind][0]
+
+    @property
+    def tangent_dim(self):
+        return SPLINE_SPECS[self.kind][1]
+
+
+@dataclass
+class RawBucket:
+    """Array-backed stand-in for Bucket: data arrays only, no objects."""
+
+    kind: str
+    M: int
+    rdim: int
+    data: Dict[str, "jnp.ndarray"] = field(default_factory=dict)
+    window: Dict[str, int] = field(default_factory=dict)
+    camera_cls: Optional[type] = None
+
+
+class RawProblem:
+    """A compiled problem built directly from arrays.
+
+    The object-graph :class:`Problem` replaces the reference's
+    ``AddToEstimator`` path one measurement at a time; at the BASELINE
+    config-5 scale (10k+ keyframes, 100k+ landmarks, ~10^6 observations) the
+    per-object Python loop is itself the bottleneck. RawProblem takes the
+    final struct-of-arrays directly and exposes the same attributes the
+    solver layers consume (``problem_spec``/``problem_runtime``/``parallel``).
+
+    Parameters
+    ----------
+    splines : list of (kind, knots [n, D], t0, dt)
+    buckets : dict key -> RawBucket (data arrays complete, windows set)
+    sensors : dict state arrays {q_ct [S,4], p_ct [S,3], d [S], abias, gbias}
+        plus ``mask [S, 13]`` tangent mask rows and ``d_max [S]``.
+    rho : [L] initial inverse depths; landmark_mask : [L].
+    """
+
+    def __init__(self, splines, buckets, sensors, rho, landmark_mask=None,
+                 vt=None):
+        self.splines = []
+        state = {}
+        offset = 0
+        for kind, knots, t0, dt in splines:
+            knots = np.asarray(knots, dtype=default_dtype)
+            info = RawSplineInfo(kind, knots.shape[0], float(t0), float(dt), offset)
+            offset += info.n * info.tangent_dim
+            self.splines.append(info)
+            state[kind] = jnp.asarray(knots)
+        self.sensor_offset = offset
+        S = int(np.asarray(sensors["q_ct"]).shape[0])
+        offset += S * SENSOR_TANGENT_DIM
+        self.landmark_offset = offset
+        L = int(np.asarray(rho).shape[0])
+        offset += L
+        self.vt_offset = offset
+        V = 0 if vt is None else int(np.asarray(vt).shape[0])
+        offset += V
+        self.num_tangent = offset
+
+        for k in ("q_ct", "p_ct", "d", "abias", "gbias"):
+            arr = np.asarray(
+                sensors.get(k, np.zeros((S, 3) if k != "d" else S)),
+                dtype=default_dtype,
+            )
+            state[k] = jnp.asarray(arr)
+        state["rho"] = jnp.asarray(np.asarray(rho, dtype=default_dtype))
+        state["vt"] = jnp.asarray(
+            np.zeros(0, dtype=default_dtype) if vt is None
+            else np.asarray(vt, dtype=default_dtype)
+        )
+        self.state0 = state
+        self.d_max = jnp.asarray(
+            np.asarray(sensors.get("d_max", np.zeros(max(S, 1))), dtype=default_dtype)
+        )
+
+        mask = np.zeros(self.num_tangent, dtype=default_dtype)
+        for sp in self.splines:
+            mask[sp.tangent_offset : sp.tangent_offset + sp.n * sp.tangent_dim] = 1.0
+        smask = np.asarray(
+            sensors.get("mask", np.zeros((S, SENSOR_TANGENT_DIM))),
+            dtype=default_dtype,
+        )
+        mask[self.sensor_offset : self.sensor_offset + S * SENSOR_TANGENT_DIM] = (
+            smask.reshape(-1)
+        )
+        lmask = (
+            np.ones(L) if landmark_mask is None else np.asarray(landmark_mask)
+        ).astype(default_dtype)
+        mask[self.landmark_offset : self.landmark_offset + L] = lmask
+        mask[self.vt_offset : self.vt_offset + V] = 1.0
+        self.mask = jnp.asarray(mask)
+
+        self.buckets = dict(buckets)
+        # len()-able stand-ins for the object lists
+        self.sensors = list(range(S))
+        self.landmarks = list(range(L))
+        self._lifting = list(range(V))
+
+        self.num_residual_blocks = sum(b.M for b in self.buckets.values())
+        self.num_residuals = sum(b.M * b.rdim for b in self.buckets.values())
+        self.num_residual_blocks_reduced = self.num_residual_blocks
+        self.num_residuals_reduced = self.num_residuals
+        self.num_parameters = self.num_tangent
+        self.num_parameter_blocks = (
+            sum(sp.n for sp in self.splines) + 3 * S + L + V
+        )
+        self.num_parameters_reduced = int(np.sum(np.asarray(self.mask) > 0))
+        self.num_parameter_blocks_reduced = self.num_parameter_blocks

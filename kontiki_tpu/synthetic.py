@@ -105,6 +105,25 @@ def make_so3_trajectory(duration, dt=0.1, t0=0.0, seed=0, wmag=0.4):
     return traj
 
 
+def make_se3_trajectory(duration, dt=0.1, t0=0.0, seed=0, speed=0.5, wmag=0.4):
+    """Smooth random SE3 cumulative spline valid on [t0, t0 + duration)."""
+    from .rotations import quat_to_rotation_matrix
+    from .trajectories import UniformSE3SplineTrajectory
+
+    rng = np.random.default_rng(seed)
+    n = int(np.ceil(duration / dt)) + 4
+    vel = _smooth_noise(rng, n, 3, speed)
+    pos = np.cumsum(vel * dt, axis=0)
+    qs = _so3_knots(rng, n, dt, wmag)
+    traj = UniformSE3SplineTrajectory(dt, t0)
+    for q, p in zip(qs, pos):
+        T = np.eye(4)
+        T[:3, :3] = quat_to_rotation_matrix(q)
+        T[:3, 3] = p
+        traj.append_knot(T)
+    return traj
+
+
 def perturb_trajectory(traj, sigma_p=0.05, sigma_q=0.02, seed=1):
     """Clone with perturbed knots — a realistic optimizer starting point."""
     rng = np.random.default_rng(seed)
@@ -124,6 +143,14 @@ def perturb_trajectory(traj, sigma_p=0.05, sigma_q=0.02, seed=1):
                 dq = axis_angle_to_quat(axis, rng.normal(scale=sigma_q))
                 knots[i] = quat_mult(dq, knots[i])
                 knots[i] /= np.linalg.norm(knots[i])
+        elif knots.shape[1] == 7:  # packed SE3 (q wxyz, t)
+            for i in range(knots.shape[0]):
+                axis = rng.normal(size=3)
+                axis /= np.linalg.norm(axis)
+                dq = axis_angle_to_quat(axis, rng.normal(scale=sigma_q))
+                knots[i, :4] = quat_mult(dq, knots[i, :4])
+                knots[i, :4] /= np.linalg.norm(knots[i, :4])
+            knots[:, 4:] += rng.normal(scale=sigma_p, size=(knots.shape[0], 3))
         sp.set_knots(knots)
     return out
 
@@ -177,8 +204,13 @@ def make_gyro_problem(duration=5.0, rate=200.0, knot_dt=0.1, seed=0, noise=0.0,
 
 @_host_generation
 def make_imu_problem(duration=5.0, rate=200.0, knot_dt=0.1, seed=0, noise=0.0,
-                     bias=True, sigma_p=0.05, sigma_q=0.02):
-    """BASELINE config 2: full IMU fusion on a split trajectory."""
+                     bias=True, sigma_p=0.05, sigma_q=0.02, position_rate=0.0):
+    """BASELINE config 2: full IMU fusion on a split trajectory.
+
+    ``position_rate > 0`` adds sparse PositionMeasurements: pure
+    gyro+accel fusion leaves global position and constant velocity
+    unobservable (double integration), so ATE-against-truth tests need an
+    anchor — the classic pose-aided-IMU setup."""
     true_traj = make_split_trajectory(duration + 1.0, dt=knot_dt, seed=seed)
     rng = np.random.default_rng(seed + 7)
     if bias:
@@ -190,6 +222,12 @@ def make_imu_problem(duration=5.0, rate=200.0, knot_dt=0.1, seed=0, noise=0.0,
     ms = make_imu_measurements(
         true_traj, imu, 0.5, 0.5 + duration, rate, noise=noise, seed=seed
     )
+    if position_rate:
+        from .measurements import PositionMeasurement
+
+        ts = np.arange(0.5, 0.5 + duration, 1.0 / position_rate)
+        ps = np.asarray(true_traj._eval(ts)["position"])
+        ms += [PositionMeasurement(t, p) for t, p in zip(ts, ps)]
     traj = perturb_trajectory(true_traj, sigma_p=sigma_p, sigma_q=sigma_q, seed=seed + 1)
     return dict(trajectory=traj, true_trajectory=true_traj, imu=imu, measurements=ms)
 
@@ -265,15 +303,25 @@ def make_rsvi_problem(
     perturb_rho=0.0,
     speed=0.3,
     wmag=0.25,
+    trajectory="split",
 ):
     """BASELINE configs 3-5: (rolling-shutter) SfM, optionally with IMU.
 
     ``rs`` selects the camera measurement type: 'static' | 'newton' |
-    'lifting'. ``imu_rate=0`` gives pure SfM (config 3)."""
+    'lifting'. ``imu_rate=0`` gives pure SfM (config 3). ``trajectory``
+    selects the spline model: 'split' (independent R3/SO3) or 'se3'
+    (cumulative SE3, the BASELINE config-4 model)."""
     rng = np.random.default_rng(seed)
     span = (nviews - 1) / fps
     duration = span + 1.5
-    true_traj = make_split_trajectory(duration, dt=knot_dt, seed=seed, speed=speed, wmag=wmag)
+    if trajectory == "se3":
+        true_traj = make_se3_trajectory(
+            duration, dt=knot_dt, seed=seed, speed=speed, wmag=wmag
+        )
+    else:
+        true_traj = make_split_trajectory(
+            duration, dt=knot_dt, seed=seed, speed=speed, wmag=wmag
+        )
     camera = make_camera(camera_kind)
     t_first = 0.5
     t0s = t_first + np.arange(nviews) / fps
@@ -358,20 +406,246 @@ def make_rsvi_problem(
 def trajectory_ate(traj_a, traj_b, t1, t2, n=200, align=False):
     """RMS position error between two trajectories on [t1, t2).
 
-    With ``align=True`` an SE3 (rotation + translation, no scale) alignment
-    is removed first — the standard ATE convention, and required whenever the
-    problem has a gauge freedom (pure visual(-inertial) estimation leaves
-    global translation and yaw unobservable; only the *shape* of the
-    trajectory is determined)."""
+    ``align`` removes the estimation gauge first (the standard ATE
+    convention): ``"se3"``/True removes the best rotation + translation
+    (visual-inertial: global translation and yaw are unobservable);
+    ``"sim3"`` additionally removes scale (pure visual estimation with
+    inverse-depth landmarks leaves scale free)."""
     ts = np.linspace(t1, t2, n, endpoint=False)
     pa = np.asarray(traj_a._eval(ts)["position"])
     pb = np.asarray(traj_b._eval(ts)["position"])
     if align:
         ca, cb = pa.mean(axis=0), pb.mean(axis=0)
         A, B = pa - ca, pb - cb
-        U, _, Vt = np.linalg.svd(B.T @ A)
+        U, S, Vt = np.linalg.svd(B.T @ A)
         d = np.sign(np.linalg.det(U @ Vt))
-        R = U @ np.diag([1.0, 1.0, d]) @ Vt
-        pa = (R @ A.T).T
+        D = np.diag([1.0, 1.0, d])
+        R = U @ D @ Vt
+        s = 1.0
+        if align == "sim3":
+            varA = np.sum(A * A)
+            s = np.sum(np.diag(D) * S) / np.where(varA == 0, 1.0, varA)
+        pa = s * (R @ A.T).T
         pb = B
     return float(np.sqrt(np.mean(np.sum((pa - pb) ** 2, axis=-1))))
+
+
+@_host_generation
+def trajectory_aoe(traj_a, traj_b, t1, t2, n=200, align=True):
+    """RMS orientation error (radians) between two trajectories.
+
+    With ``align=True`` the best-fit constant left rotation is removed
+    first (quaternion averaging of q_b q_a^-1): gyro-only estimation
+    determines orientation only up to a global rotation."""
+    import jax.numpy as jnp
+
+    from .math import quaternion as quat
+
+    ts = np.linspace(t1, t2, n, endpoint=False)
+    qa = jnp.asarray(np.asarray(traj_a._eval(ts)["orientation"]))
+    qb = jnp.asarray(np.asarray(traj_b._eval(ts)["orientation"]))
+    qe = np.asarray(quat.qmul(qb, quat.qconj(qa)))
+    if align:
+        # Markley quaternion average of the error rotations.
+        qe_s = np.where(qe[:, :1] < 0, -qe, qe)
+        M = qe_s.T @ qe_s
+        w, V = np.linalg.eigh(M)
+        q_off = V[:, -1]
+        qe = np.asarray(
+            quat.qmul(jnp.asarray(np.broadcast_to(quat_conj(q_off), qe.shape).copy()), jnp.asarray(qe))
+        )
+    vn = np.linalg.norm(qe[:, 1:], axis=1)
+    ang = 2.0 * np.arctan2(vn, np.abs(qe[:, 0]))
+    return float(np.sqrt(np.mean(ang**2)))
+
+
+@_host_generation
+def make_big_ba_problem(
+    n_views=1000,
+    n_landmarks=10_000,
+    obs_per_landmark=5,
+    fps=30.0,
+    knot_dt=0.1,
+    imu_rate=0.0,
+    seed=0,
+    readout=0.02,
+    rows=480,
+    cols=640,
+    sigma_p=0.01,
+    sigma_q=0.005,
+    perturb_rho=0.05,
+    noise_px=0.0,
+):
+    """BASELINE config 5 at scale: array-level rolling-shutter BA.
+
+    Builds a :class:`~kontiki_tpu.solver.problem.RawProblem` directly from
+    struct-of-arrays — no per-observation Python objects — so 10k+ keyframes
+    and 100k+ landmarks compile in seconds. Observations are exactly
+    self-consistent: the rolling-shutter row-time constraint is solved by
+    vectorized fixed-point iteration for every (landmark, view) pair, the
+    batched analogue of the reference's per-observation brentq
+    (fixtures/sfm_fixtures.py:12-84).
+
+    Returns a dict with ``problem`` (RawProblem), ``true_trajectory``,
+    ``trajectory`` (perturbed initial guess, for ATE), and span times."""
+    import jax.numpy as jnp
+
+    from .math import quaternion as quat
+    from .solver.problem import RawBucket, RawProblem
+
+    rng = np.random.default_rng(seed)
+    span = (n_views - 1) / fps
+    duration = span + 1.5
+    true_traj = make_split_trajectory(duration, dt=knot_dt, seed=seed, speed=0.3, wmag=0.2)
+    t_first = 0.5
+    t0s = t_first + np.arange(n_views) / fps
+
+    K = np.array([[500.0, 0.0, 0.5 * cols], [0.0, 500.0, 0.5 * rows], [0.0, 0.0, 1.0]])
+    Kinv = np.linalg.inv(K)
+
+    L, k = n_landmarks, obs_per_landmark
+    # Reference views spread over the sequence (each landmark is observed in
+    # its reference view and the k following frames).
+    ref_idx = (np.arange(L) * max(n_views - k - 1, 1) // max(L, 1)).astype(np.int64)
+    ref_idx = np.minimum(ref_idx, n_views - k - 1)
+    uv_ref = np.stack(
+        [rng.uniform(0.05 * cols, 0.95 * cols, L), rng.uniform(0.05 * rows, 0.95 * rows, L)],
+        axis=1,
+    )
+    z_ref = rng.uniform(2.0, 20.0, L)
+    yh_ref = (np.concatenate([uv_ref, np.ones((L, 1))], axis=1) @ Kinv.T)
+
+    # World points through the (identity-relative-pose) camera at the exact
+    # rolling-shutter reference row time.
+    t_ref = t0s[ref_idx] + uv_ref[:, 1] * readout / rows
+    res = true_traj._eval(t_ref)
+    q_t = jnp.asarray(res["orientation"])
+    p_t = jnp.asarray(res["position"])
+    X_world = np.asarray(
+        quat.qrotate(q_t, jnp.asarray(z_ref[:, None] * yh_ref)) + p_t
+    )
+
+    # Observation views: the k frames after the reference.
+    vids = ref_idx[:, None] + 1 + np.arange(k)[None, :]  # [L, k]
+    t0_obs = t0s[vids]
+
+    # Vectorized RS row-time fixed point over all (landmark, view) pairs.
+    Kj = jnp.asarray(K)
+    Xw = jnp.asarray(X_world)[:, None, :]
+    v = jnp.full((L, k), 0.5 * rows)
+    for _ in range(25):
+        t = jnp.asarray(t0_obs) + v * readout / rows
+        r = true_traj._eval(np.asarray(t).ravel())
+        q = jnp.asarray(r["orientation"]).reshape(L, k, 4)
+        p = jnp.asarray(r["position"]).reshape(L, k, 3)
+        X_cam = quat.qrotate(quat.qconj(q), Xw - p)
+        h = X_cam @ Kj.T
+        z = h[..., 2]
+        uv = h[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)[..., None]
+        v = jnp.clip(uv[..., 1], 0.0, rows - 1e-6)
+    ok = (jnp.abs(uv[..., 1] - v) < 1e-8) & (z > 0.2)
+    ok = ok & (uv[..., 0] >= 0) & (uv[..., 0] < cols)
+    uv = np.asarray(uv)
+    ok = np.asarray(ok)
+
+    dd = default_dtype
+    M = L * k
+    uv_obs = uv.reshape(M, 2)
+    if noise_px:
+        uv_obs = uv_obs + rng.normal(scale=noise_px, size=(M, 2))
+    cam_data = {
+        "sid": np.zeros(M, dtype=np.int32),
+        "lid": np.repeat(np.arange(L, dtype=np.int32), k),
+        "uv_obs": uv_obs.astype(dd),
+        "v_obs": uv_obs[:, 1].astype(dd),
+        "t0_obs": t0_obs.reshape(M).astype(dd),
+        "t0_ref": np.repeat(t0s[ref_idx], k).astype(dd),
+        "v_ref": np.repeat(uv_ref[:, 1], k).astype(dd),
+        "yh_ref": np.repeat(yh_ref, k, axis=0).astype(dd),
+        "readout": np.full(M, readout, dtype=dd),
+        "rows": np.full(M, float(rows), dtype=dd),
+        "K": np.broadcast_to(K, (M, 3, 3)).astype(dd),
+        "weight": ok.reshape(M).astype(dd),
+        "huber_c": np.full(M, 5.0, dtype=dd),
+    }
+
+    r3 = true_traj.R3_spline
+    so3 = true_traj.SO3_spline
+    W_cam = 4 + int(np.ceil(readout / knot_dt)) + 1
+    buckets = {
+        "rs_static:PinholeCamera": RawBucket(
+            kind="rs_static:PinholeCamera",
+            M=M,
+            rdim=2,
+            data={kk: jnp.asarray(vv) for kk, vv in cam_data.items()},
+            window={"r3": W_cam, "so3": W_cam},
+            camera_cls=None,
+        )
+    }
+    from .sensors import PinholeCamera as _Pinhole
+
+    buckets["rs_static:PinholeCamera"].camera_cls = _Pinhole
+
+    n_sensors = 1
+    if imu_rate:
+        ts = np.arange(t_first, t_first + span + readout, 1.0 / imu_rate)
+        w_b, a_b = _body_imu(true_traj, ts)
+        for key, y in (("gyro", w_b), ("accel", a_b)):
+            data = {
+                "t": ts.astype(dd),
+                "y": np.asarray(y, dtype=dd),
+                "weight": np.ones(len(ts), dtype=dd),
+                "sid": np.ones(len(ts), dtype=np.int32),
+            }
+            buckets[key] = RawBucket(
+                kind=key,
+                M=len(ts),
+                rdim=3,
+                data={kk: jnp.asarray(vv) for kk, vv in data.items()},
+                window={"r3": 4, "so3": 4},
+            )
+        n_sensors = 2
+
+    # Perturbed initial state (vectorized).
+    traj = true_traj.clone()
+    knots_p = np.asarray(r3.knots) + rng.normal(scale=sigma_p, size=(len(r3), 3))
+    axis = rng.normal(size=(len(so3), 3))
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    ang = rng.normal(scale=sigma_q, size=(len(so3), 1))
+    dq = np.concatenate([np.cos(ang / 2), np.sin(ang / 2) * axis], axis=1)
+    knots_q = np.array(quat.qmul(jnp.asarray(dq), jnp.asarray(np.asarray(so3.knots))))
+    knots_q /= np.linalg.norm(knots_q, axis=1, keepdims=True)
+    traj.R3_spline.set_knots(knots_p.astype(dd))
+    traj.SO3_spline.set_knots(knots_q.astype(dd))
+
+    rho0 = 1.0 / z_ref
+    if perturb_rho:
+        rho0 = np.maximum(rho0 * (1.0 + rng.normal(scale=perturb_rho, size=L)), 1e-4)
+
+    S = n_sensors
+    sensors = {
+        "q_ct": np.tile(np.array([1.0, 0, 0, 0]), (S, 1)),
+        "p_ct": np.zeros((S, 3)),
+        "d": np.zeros(S),
+        "abias": np.zeros((S, 3)),
+        "gbias": np.zeros((S, 3)),
+        "mask": np.zeros((S, 13)),
+        "d_max": np.zeros(S),
+    }
+    problem = RawProblem(
+        splines=[
+            ("r3", knots_p, r3.t0, r3.dt),
+            ("so3", knots_q, so3.t0, so3.dt),
+        ],
+        buckets=buckets,
+        sensors=sensors,
+        rho=rho0,
+    )
+    return dict(
+        problem=problem,
+        true_trajectory=true_traj,
+        trajectory=traj,
+        t1=float(t0s[0]),
+        t2=float(t0s[-1]),
+        n_obs=M,
+    )

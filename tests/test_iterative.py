@@ -61,3 +61,55 @@ def test_iterative_solver_converges(camera_problem):
     _, cost_fn = make_schur_step(camera_problem)
     c0 = float(cost_fn(camera_problem.state0))
     assert float(cost) < 1e-8 * c0
+
+
+# ---------------------------------------------------------------------------
+# multi-chip iterative Schur (8-device CPU mesh) + config-5 scale
+# ---------------------------------------------------------------------------
+
+def test_sharded_iterative_step_matches_single(camera_problem):
+    import jax
+
+    from kontiki_tpu import parallel
+
+    mesh = parallel.default_mesh()
+    assert mesh.devices.size == 8
+    it_step, _ = make_iterative_step(camera_problem, cg_tol=1e-14, cg_maxiter=2000)
+    sh_step, _ = parallel.make_sharded_iterative_step(
+        camera_problem, mesh, cg_tol=1e-14, cg_maxiter=2000
+    )
+    c1, s1, nc1, p1, d1, g1 = it_step(camera_problem.state0, 1e-3)
+    c8, s8, nc8, p8, d8, g8 = sh_step(camera_problem.state0, 1e-3)
+    np.testing.assert_allclose(float(c8), float(c1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(float(p8), float(p1), rtol=1e-6)
+    np.testing.assert_allclose(float(g8), float(g1), rtol=1e-10)
+
+
+def test_sharded_iterative_scale_raw_problem():
+    """Config-5 shape at CPU-test scale: a RawProblem with hundreds of knots
+    and thousands of landmarks runs a full sharded LM solve without any
+    dense [Pc,Pc] or [L,Pc] allocation and reduces the cost massively."""
+    from kontiki_tpu import parallel
+    from kontiki_tpu.synthetic import make_big_ba_problem, trajectory_ate
+
+    big = make_big_ba_problem(
+        n_views=120,
+        n_landmarks=2000,
+        obs_per_landmark=4,
+        knot_dt=0.1,
+        seed=1,
+        sigma_p=0.01,
+        sigma_q=0.005,
+        perturb_rho=0.02,
+    )
+    problem = big["problem"]
+    assert problem.num_tangent > 2000  # knots + landmarks
+    mesh = parallel.default_mesh()
+    solver = parallel.make_sharded_iterative_solver(
+        problem, mesh, max_iterations=12, cg_tol=1e-8, cg_maxiter=150
+    )
+    state, cost, it = solver(problem.state0)
+    step, cost_fn = parallel.make_sharded_iterative_step(problem, mesh)
+    c0 = float(cost_fn(problem.state0))
+    assert float(cost) < 1e-6 * c0, (float(cost), c0)

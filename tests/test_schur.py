@@ -38,18 +38,19 @@ def test_schur_step_equals_dense_step(problem):
         np.testing.assert_allclose(float(gs), float(gd), rtol=1e-10)
 
 
-def test_schur_respects_locked_landmark(problem):
-    for lm in problem.landmarks[:3]:
+def test_schur_respects_locked_landmark():
+    # Fresh structure: locking must not leak into the module-scoped fixture.
+    own = make_rsvi_problem(nviews=6, nlandmarks=12, imu_rate=60.0, seed=9)
+    p1 = Problem(own["trajectory"], own["measurements"])
+    for lm in p1.landmarks[:3]:
         lm.locked = True
-    p2 = Problem(problem.trajectory, problem.measurements)
+    p2 = Problem(own["trajectory"], own["measurements"])
     schur_step, _ = make_schur_step(p2)
     out = schur_step(p2.state0, 1e-3)
     delta = np.asarray(out[4])
     lo = p2.landmark_offset
     assert np.all(delta[lo:lo + 3] == 0.0)
     assert np.any(delta[lo + 3:lo + len(p2.landmarks)] != 0.0)
-    for lm in problem.landmarks[:3]:
-        lm.locked = False
 
 
 def test_fused_solver_uses_schur_and_converges(problem):
