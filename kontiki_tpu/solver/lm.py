@@ -44,6 +44,10 @@ def _make_step(problem, strategy):
         from .iterative import make_iterative_step
 
         return make_iterative_step(problem)
+    if strategy == "banded":
+        from .banded import make_banded_step
+
+        return make_banded_step(problem)
     return make_step(problem)
 
 
@@ -102,6 +106,19 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
                 rt, blocks, lam, cg_tol, cg_maxiter
             )
         )
+
+        def linearize(state):
+            return lin_j(runtime, state)
+
+        def solve_phase(blocks, lam):
+            return solve_j(runtime, blocks, lam)
+
+    elif strategy == "banded":
+        from .banded import build_banded_parts
+
+        parts = build_banded_parts(spec, x64)
+        lin_j = jax.jit(parts["linearize"])
+        solve_j = jax.jit(parts["solve_with_pred"])
 
         def linearize(state):
             return lin_j(runtime, state)

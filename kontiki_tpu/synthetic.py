@@ -117,6 +117,10 @@ def make_se3_trajectory(duration, dt=0.1, t0=0.0, seed=0, speed=0.5, wmag=0.4):
     qs = _so3_knots(rng, n, dt, wmag)
     traj = UniformSE3SplineTrajectory(dt, t0)
     for q, p in zip(qs, pos):
+        # Build the rotation in f64 regardless of the global dtype: the
+        # container validates det(R) to 1e-10, which f32 quats cannot hit.
+        q = np.asarray(q, dtype=np.float64)
+        q /= np.linalg.norm(q)
         T = np.eye(4)
         T[:3, :3] = quat_to_rotation_matrix(q)
         T[:3, 3] = p

@@ -346,7 +346,9 @@ class UniformSE3SplineTrajectory(_UniformSplineTrajectory):
         if cp.shape != (4, 4):
             raise ValueError("SE3 control point must be a 4x4 matrix")
         R = cp[:3, :3]
-        eps = 1e-10
+        # Validation tolerance tracks the working precision (the reference
+        # is double-only; in f32 mode the same 1e-10 bound is unreachable).
+        eps = 1e-10 if default_dtype == np.float64 else 1e-5
         if abs(np.linalg.det(R) - 1.0) >= eps:
             raise ValueError("Rotation matrix determinant is not 1!")
         if np.sum((cp[3] - np.array([0.0, 0.0, 0.0, 1.0])) ** 2) >= eps:
