@@ -222,3 +222,6 @@ __all__ += ["make_sharded_iterative_step", "make_sharded_iterative_solver"]
 from . import distributed as distributed  # noqa: E402
 
 __all__ += ["distributed"]
+from .segments import make_segment_sharded_step  # noqa: E402
+
+__all__ += ["make_segment_sharded_step"]
