@@ -26,6 +26,7 @@ objects are H_cc [Pc, Pc] and E [L, Pc]. This is what lets camera problems
 scale to 10^5 landmarks on-chip.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,25 @@ from .kernels import (
     problem_runtime,
     problem_spec,
 )
+
+#: Gauss-Newton assembly backend: 'auto' uses the Pallas tiled-MXU kernel
+#: on TPU whenever the accumulators fit VMEM (measured ~2x linearize win on
+#: the flagship problem vs the scatter path), otherwise the XLA scatter;
+#: 'pallas' forces the kernel (interpret-mode off-TPU), 'dense' forces the
+#: scatter path.
+_ASSEMBLY_ENV = os.environ.get("KONTIKI_ASSEMBLY", "auto")
+
+
+def _use_pallas_assembly(P, L, rdim, C):
+    if _ASSEMBLY_ENV == "pallas":
+        return True
+    if _ASSEMBLY_ENV not in ("auto", "dense"):
+        return False
+    if _ASSEMBLY_ENV == "dense":
+        return False
+    from ..ops.assembly_kernels import assembly_supported
+
+    return assembly_supported(P, L, rdim, C)
 
 
 @functools.lru_cache(maxsize=None)
@@ -112,21 +132,42 @@ def build_schur_parts(spec, x64: bool, local_L: int = 0):
             Jw = J * sq[:, None, None]
             rw = r * sq[:, None]
             rdim = r.shape[1]
-
-            def to_dense(Jm, cm):
-                return jnp.zeros((rdim, Pc), Jm.dtype).at[:, cm].add(Jm)
-
-            Jd = jax.vmap(to_dense)(Jw, cols_c)
-            Jd2 = Jd.reshape(-1, Pc)
-            H_cc = H_cc + Jd2.T @ Jd2
-            g_c = g_c + Jd2.T @ rw.reshape(-1)
-
+            lid = None
+            Jw_rho = None
             if J_rho is not None:
                 lid = data["lid_local"] if local_L else data["lid"]
                 Jw_rho = J_rho * sq[:, None] * mask_l[lid][:, None]
-                E = E.at[lid].add(jnp.einsum("mr,mrp->mp", Jw_rho, Jd))
-                D = D.at[lid].add(jnp.sum(Jw_rho * Jw_rho, axis=1))
-                g_l = g_l.at[lid].add(jnp.sum(Jw_rho * rw, axis=1))
+
+            if _use_pallas_assembly(Pc, E_rows, rdim, Jw.shape[2]):
+                from ..ops.assembly_kernels import assemble_schur_blocks
+
+                zr = jnp.zeros((Jw.shape[0], rdim), Jw.dtype)
+                zi = jnp.zeros((Jw.shape[0],), jnp.int32)
+                Hb, gb, Eb, Db, glb = assemble_schur_blocks(
+                    Jw, cols_c, rw,
+                    Jw_rho if Jw_rho is not None else zr,
+                    lid.astype(jnp.int32) if lid is not None else zi,
+                    P=Pc, L=E_rows, with_rho=J_rho is not None,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                H_cc = H_cc + Hb
+                g_c = g_c + gb
+                if J_rho is not None:
+                    E = E + Eb
+                    D = D + Db
+                    g_l = g_l + glb
+            else:
+                def to_dense(Jm, cm):
+                    return jnp.zeros((rdim, Pc), Jm.dtype).at[:, cm].add(Jm)
+
+                Jd = jax.vmap(to_dense)(Jw, cols_c)
+                Jd2 = Jd.reshape(-1, Pc)
+                H_cc = H_cc + Jd2.T @ Jd2
+                g_c = g_c + Jd2.T @ rw.reshape(-1)
+                if J_rho is not None:
+                    E = E.at[lid].add(jnp.einsum("mr,mrp->mp", Jw_rho, Jd))
+                    D = D.at[lid].add(jnp.sum(Jw_rho * Jw_rho, axis=1))
+                    g_l = g_l.at[lid].add(jnp.sum(Jw_rho * rw, axis=1))
         return cost, H_cc, g_c, E, D, g_l
 
     def retract(runtime, state, delta):
