@@ -390,6 +390,153 @@ def _make_residual(spec: ProblemSpec, bspec: BucketSpec):
     return residual, dict(tags=("ref_", "obs_"), sensor=True, rho=True, vt=False, loss=True)
 
 
+#: Staged camera Jacobians: differentiate the spline evaluation and the
+#: projection separately and chain through the (position, orientation)
+#: bottleneck, instead of pushing ~88 forward-mode seeds through the whole
+#: residual. The time-offset/vt columns chain analytically through
+#: (velocity, 0.5*embed(omega) q). Applies to rs_static/rs_lifting
+#: (rs_newton's inner solve does not factor); set KONTIKI_JAC_STAGED=0 for
+#: the monolithic jacfwd.
+JAC_STAGED = os.environ.get("KONTIKI_JAC_STAGED", "1") != "0"
+
+
+def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
+    """row_terms(runtime, state, row, split_rho) for rs_static/rs_lifting.
+
+    Exact chain-rule factorization of the monolithic jacfwd (pinned by
+    tests/test_staged_jacobian.py):
+
+        r = G(u_ref, u_obs, s, rho, vt),  u_tag = (p, q)(windows_tag, t_tag)
+
+        J_windows = dG/du_tag @ du_tag/dwindows      (36 spline-eval seeds)
+        J_d       = dG/ds[6] + sum_tag dG/du_tag @ du_tag/dt   (analytic)
+        J_vt      = dG/dvt + dG/du_obs @ du_obs/dt * readout   (lifting)
+    """
+    kind = bspec.kind
+    lifting = kind == "rs_lifting"
+    eval_ref = _make_traj_eval(spec, bspec, "ref_")
+    eval_obs = _make_traj_eval(spec, bspec, "obs_")
+    project, _ = _project_fns(bspec.camera)
+
+    def stage_eval(tag_eval, tag, runtime, state, t, t_base, dtype):
+        zero = {
+            tag + sp.kind: jnp.zeros(
+                (bspec.windows[si], _TANGENT_DIMS[sp.kind]), dtype
+            )
+            for si, sp in enumerate(spec.splines)
+        }
+
+        def h(deltas):
+            p, v, a, q, w = tag_eval(runtime, state, deltas, t, t_base)
+            return jnp.concatenate([p, q]), (v, q, w)
+
+        J_tree, (v, q, w) = jax.jacfwd(h, has_aux=True)(zero)
+        u, _ = h(zero)
+        Jw = jnp.concatenate(
+            [
+                J_tree[tag + sp.kind].reshape(7, -1)
+                for sp in spec.splines
+            ],
+            axis=1,
+        )
+        dudt = jnp.concatenate([v, 0.5 * quat.qmul(quat.embed_vector(w), q)])
+        return u, Jw, dudt
+
+    def row_terms(runtime, state, row, split_rho):
+        dtype = runtime["mask"].dtype
+        row = _with_base_times(bspec, state, row)
+        i_bases_by_tag = {
+            tag: _i_bases(spec, bspec, runtime, row[key])
+            for tag, key in (("ref_", "t_base_ref"), ("obs_", "t_base_obs"))
+        }
+        d = state["d"][row["sid"]]
+        row_delta = row["readout"] / row["rows"]
+        t_ref = row["t0_ref"] + d + row["v_ref"] * row_delta
+        if lifting:
+            vt0 = state["vt"][row["vt_idx"]]
+            t_obs = row["t0_obs"] + d + vt0 * row["readout"]
+        else:
+            t_obs = row["t0_obs"] + d + row["v_obs"] * row_delta
+
+        u_ref, Jw_ref, dudt_ref = stage_eval(
+            eval_ref, "ref_", runtime, state, t_ref, row["t_base_ref"], dtype
+        )
+        u_obs, Jw_obs, dudt_obs = stage_eval(
+            eval_obs, "obs_", runtime, state, t_obs, row["t_base_obs"], dtype
+        )
+
+        def G(ur, uo, s_delta, drho, dvt):
+            p_ref, q_ref = ur[:3], ur[3:7]
+            p_obs, q_obs = uo[:3], uo[3:7]
+            q_ct, p_ct, _, _, _ = _sensor_at(state, s_delta, row["sid"])
+            rho = state["rho"][row["lid"]] + drho
+            X = _world_point(p_ref, q_ref, row["yh_ref"], rho, q_ct, p_ct)
+            X_o = quat.qrotate(quat.qconj(q_obs), X - rho * p_obs)
+            X_cam = quat.qrotate(q_ct, X_o) + rho * p_ct
+            y_hat = project(row, X_cam)
+            r2 = row["weight"] * (row["uv_obs"] - y_hat)
+            if not lifting:
+                return r2
+            vt = vt0 + dvt
+            r_time = row["weight"] * row["rows"] * (vt - row["vt_orig"])
+            return jnp.concatenate([r2, jnp.atleast_1d(r_time)])
+
+        z13 = jnp.zeros(SENSOR_TANGENT_DIM, dtype)
+        z = jnp.zeros((), dtype)
+        r = G(u_ref, u_obs, z13, z, z)
+        Ju_ref, Ju_obs, Js, Jrho, Jvt = jax.jacfwd(
+            G, argnums=(0, 1, 2, 3, 4)
+        )(u_ref, u_obs, z13, z, z)
+
+        J_ref = Ju_ref @ Jw_ref
+        J_obs = Ju_obs @ Jw_obs
+        # time-offset column: both trajectory times shift with d
+        Js = Js.at[:, 6].add(Ju_ref @ dudt_ref + Ju_obs @ dudt_obs)
+        if lifting:
+            Jvt = Jvt + (Ju_obs @ dudt_obs) * row["readout"]
+
+        if "valid" in row:
+            v_ = row["valid"]
+            r = r * v_
+            J_ref = J_ref * v_
+            J_obs = J_obs * v_
+            Js = Js * v_
+            Jrho = Jrho * v_
+            Jvt = Jvt * v_
+
+        # columns in _flatten_blocks order: tags x splines, sensor, rho, vt
+        cols = []
+        for tag in ("ref_", "obs_"):
+            ib = i_bases_by_tag[tag]
+            for si, sp in enumerate(spec.splines):
+                W = bspec.windows[si]
+                td = _TANGENT_DIMS[sp.kind]
+                base = sp.tangent_offset + ib[si] * td
+                cols.append(base + jnp.arange(W * td, dtype=jnp.int32))
+        Js_parts = [J_ref, J_obs, Js]
+        cols.append(
+            spec.sensor_offset
+            + row["sid"] * SENSOR_TANGENT_DIM
+            + jnp.arange(SENSOR_TANGENT_DIM, dtype=jnp.int32)
+        )
+        J_rho_out = Jrho.reshape(-1)
+        if not split_rho:
+            Js_parts.append(Jrho.reshape(-1, 1))
+            cols.append(
+                (spec.landmark_offset + row["lid"]).astype(jnp.int32)[None]
+            )
+        if lifting:
+            Js_parts.append(Jvt.reshape(-1, 1))
+            cols.append((spec.vt_offset + row["vt_idx"]).astype(jnp.int32)[None])
+        J = jnp.concatenate(Js_parts, axis=1)
+        cols = jnp.concatenate(cols)
+        if split_rho:
+            return r, J, cols, J_rho_out
+        return r, J, cols
+
+    return row_terms
+
+
 def _with_base_times(bspec, state, row):
     """Window base times from the current state's time offsets; windows are
     re-centered every linearization."""
@@ -450,6 +597,12 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac,
     bucket. ``split_rho`` separates the landmark column (Schur path)."""
     tags = flags["tags"]
     dtype = runtime["mask"].dtype
+
+    if with_jac and JAC_STAGED and bspec.kind in ("rs_static", "rs_lifting"):
+        staged = _make_camera_staged(spec, bspec)
+        return jax.vmap(
+            lambda row: staged(runtime, state, row, split_rho)
+        )(data)
 
     def row_fn(row):
         zero = _zero_deltas(

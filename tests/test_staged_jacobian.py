@@ -1,0 +1,52 @@
+"""The staged (bottlenecked) camera Jacobian must equal the monolithic
+jacfwd exactly — same residuals, same columns, same local Jacobian blocks."""
+import jax
+import numpy as np
+import pytest
+
+from kontiki_tpu.solver import kernels as K
+from kontiki_tpu.solver.problem import Problem
+from kontiki_tpu.synthetic import make_rsvi_problem
+
+
+@pytest.mark.parametrize("rs", ["static", "lifting"])
+def test_staged_matches_monolithic(rs, monkeypatch):
+    prob = make_rsvi_problem(
+        nviews=6, nlandmarks=9, imu_rate=0.0, seed=33, rs=rs, perturb_rho=0.1
+    )
+    # unlock the camera so the sensor/time-offset columns are live
+    cam = prob["camera"]
+    cam.relative_orientation_locked = False
+    cam.relative_position_locked = False
+    cam.max_time_offset = 0.01
+    cam.time_offset_locked = False
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    spec = K.problem_spec(problem)
+    runtime = K.problem_runtime(problem)
+    state = problem.state0
+
+    bspec = spec.buckets[0]
+    assert bspec.kind.startswith("rs_")
+    res, flags = K._make_residual(spec, bspec)
+    data = runtime["data"][0]
+
+    monkeypatch.setattr(K, "JAC_STAGED", False)
+    out_mono = jax.jit(
+        lambda rt, st: K._bucket_terms(
+            spec, bspec, res, flags, rt, st, data, True, split_rho=True
+        )
+    )(runtime, state)
+
+    monkeypatch.setattr(K, "JAC_STAGED", True)
+    out_staged = jax.jit(
+        lambda rt, st: K._bucket_terms(
+            spec, bspec, res, flags, rt, st, data, True, split_rho=True
+        )
+    )(runtime, state)
+
+    r_m, J_m, c_m, Jr_m = out_mono
+    r_s, J_s, c_s, Jr_s = out_staged
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(r_m), rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_m))
+    np.testing.assert_allclose(np.asarray(J_s), np.asarray(J_m), rtol=1e-8, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Jr_s), np.asarray(Jr_m), rtol=1e-8, atol=1e-11)
