@@ -62,11 +62,17 @@ class _BucketLayout(NamedTuple):
 
 
 def _bucket_layout(spec, bspec, flags) -> _BucketLayout:
+    from . import kernels as _k
+
+    # The staged camera path differentiates (and emits columns for) only
+    # the active 4-knot window; all other paths use the bucket's full
+    # readout-slack window width.
+    staged = _k.JAC_STAGED and bspec.kind in ("rs_static", "rs_lifting")
     off = 0
     wins = []
     for tag in flags["tags"]:
         for si, sp in enumerate(spec.splines):
-            W = bspec.windows[si]
+            W = 4 if staged else bspec.windows[si]
             td = _TANGENT_DIMS[sp.kind]
             wins.append((off, si, W, td))
             off += W * td

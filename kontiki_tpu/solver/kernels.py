@@ -406,49 +406,88 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
     Exact chain-rule factorization of the monolithic jacfwd (pinned by
     tests/test_staged_jacobian.py):
 
-        r = G(u_ref, u_obs, s, rho, vt),  u_tag = (p, q)(windows_tag, t_tag)
+        r = G(u_ref, u_obs, s, rho, vt),  u_tag = (p, q)(window_tag, t_tag)
 
-        J_windows = dG/du_tag @ du_tag/dwindows      (36 spline-eval seeds)
-        J_d       = dG/ds[6] + sum_tag dG/du_tag @ du_tag/dt   (analytic)
-        J_vt      = dG/dvt + dG/du_obs @ du_obs/dt * readout   (lifting)
-    """
+        J_window = dG/du_tag @ du_tag/dwindow   (<= 24 spline-eval seeds)
+        J_d      = dG/ds[6] + sum_tag dG/du_tag @ du_tag/dt   (analytic)
+        J_vt     = dG/dvt + dG/du_obs @ du_obs/dt * readout   (lifting)
+
+    Each trajectory evaluation differentiates only its *active 4-knot
+    window* (the exact sparsity of the reference, spline_base.h:391) and
+    emits that window's column ids directly — W-knot readout-slack windows
+    (kept for the cost/Newton paths) would waste (W-4)*td forward seeds on
+    identically-zero columns and widen every downstream Gauss-Newton row.
+    R3 blocks skip autodiff entirely: the spline is linear in its knots, so
+    dp/dknots = kron(B, I3)."""
     kind = bspec.kind
     lifting = kind == "rs_lifting"
-    eval_ref = _make_traj_eval(spec, bspec, "ref_")
-    eval_obs = _make_traj_eval(spec, bspec, "obs_")
     project, _ = _project_fns(bspec.camera)
+    C_KNOT = sum(4 * _TANGENT_DIMS[sp.kind] for sp in spec.splines)
 
-    def stage_eval(tag_eval, tag, runtime, state, t, t_base, dtype):
-        zero = {
-            tag + sp.kind: jnp.zeros(
-                (bspec.windows[si], _TANGENT_DIMS[sp.kind]), dtype
+    def stage_eval(runtime, state, t, dtype):
+        """(u7, Jw [7, C_KNOT], dudt [7], cols [C_KNOT]) at time t."""
+        p = jnp.zeros(3, dtype)
+        v = jnp.zeros(3, dtype)
+        q = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+        w = jnp.zeros(3, dtype)
+        J_parts, col_parts = [], []
+        for si, sp in enumerate(spec.splines):
+            knots = state[sp.kind]
+            t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+            td = _TANGENT_DIMS[sp.kind]
+            s = (t - t0) / dt
+            i0 = jnp.clip(
+                jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32),
+                0,
+                sp.n - 4,
             )
-            for si, sp in enumerate(spec.splines)
-        }
+            u = s - i0.astype(s.dtype)
+            sub = jax.lax.dynamic_slice(
+                knots, (i0, jnp.zeros_like(i0)), (4, knots.shape[1])
+            )
+            if sp.kind == "r3":
+                B, dB, _ = ev.basis_vectors(u, dt, cumulative=False)
+                p = B @ sub
+                v = dB @ sub
+                Jblk = jnp.concatenate(
+                    [jnp.kron(B[None, :], jnp.eye(3, dtype=dtype)).reshape(3, 12),
+                     jnp.zeros((4, 12), dtype)],
+                    axis=0,
+                )
+            elif sp.kind == "so3":
+                def h_so3(delta):
+                    win = retract_window("so3", sub, delta)
+                    q_, w_ = ev.so3_window(win, u, dt)
+                    return q_, w_
 
-        def h(deltas):
-            p, v, a, q, w = tag_eval(runtime, state, deltas, t, t_base)
-            return jnp.concatenate([p, q]), (v, q, w)
+                Jq, w = jax.jacfwd(h_so3, has_aux=True)(jnp.zeros((4, 3), dtype))
+                q, _ = h_so3(jnp.zeros((4, 3), dtype))
+                Jblk = jnp.concatenate(
+                    [jnp.zeros((3, 12), dtype), Jq.reshape(4, 12)], axis=0
+                )
+            else:  # se3
+                def h_se3(delta):
+                    win = retract_window("se3", sub, delta)
+                    p_, v_, _, q_, w_ = ev.se3_window(win, u, dt)
+                    return jnp.concatenate([p_, q_]), (v_, q_, w_)
 
-        J_tree, (v, q, w) = jax.jacfwd(h, has_aux=True)(zero)
-        u, _ = h(zero)
-        Jw = jnp.concatenate(
-            [
-                J_tree[tag + sp.kind].reshape(7, -1)
-                for sp in spec.splines
-            ],
-            axis=1,
-        )
+                Jblk, (v, q, w) = jax.jacfwd(h_se3, has_aux=True)(
+                    jnp.zeros((4, 6), dtype)
+                )
+                u7, _ = h_se3(jnp.zeros((4, 6), dtype))
+                p = u7[:3]
+                Jblk = Jblk.reshape(7, 24)
+            J_parts.append(Jblk)
+            col_parts.append(
+                sp.tangent_offset + i0 * td + jnp.arange(4 * td, dtype=jnp.int32)
+            )
+        u7 = jnp.concatenate([p, q])
+        Jw = jnp.concatenate(J_parts, axis=1)
         dudt = jnp.concatenate([v, 0.5 * quat.qmul(quat.embed_vector(w), q)])
-        return u, Jw, dudt
+        return u7, Jw, dudt, jnp.concatenate(col_parts)
 
     def row_terms(runtime, state, row, split_rho):
         dtype = runtime["mask"].dtype
-        row = _with_base_times(bspec, state, row)
-        i_bases_by_tag = {
-            tag: _i_bases(spec, bspec, runtime, row[key])
-            for tag, key in (("ref_", "t_base_ref"), ("obs_", "t_base_obs"))
-        }
         d = state["d"][row["sid"]]
         row_delta = row["readout"] / row["rows"]
         t_ref = row["t0_ref"] + d + row["v_ref"] * row_delta
@@ -458,12 +497,8 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
         else:
             t_obs = row["t0_obs"] + d + row["v_obs"] * row_delta
 
-        u_ref, Jw_ref, dudt_ref = stage_eval(
-            eval_ref, "ref_", runtime, state, t_ref, row["t_base_ref"], dtype
-        )
-        u_obs, Jw_obs, dudt_obs = stage_eval(
-            eval_obs, "obs_", runtime, state, t_obs, row["t_base_obs"], dtype
-        )
+        u_ref, Jw_ref, dudt_ref, cols_ref = stage_eval(runtime, state, t_ref, dtype)
+        u_obs, Jw_obs, dudt_obs, cols_obs = stage_eval(runtime, state, t_obs, dtype)
 
         def G(ur, uo, s_delta, drho, dvt):
             p_ref, q_ref = ur[:3], ur[3:7]
@@ -505,14 +540,7 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
             Jvt = Jvt * v_
 
         # columns in _flatten_blocks order: tags x splines, sensor, rho, vt
-        cols = []
-        for tag in ("ref_", "obs_"):
-            ib = i_bases_by_tag[tag]
-            for si, sp in enumerate(spec.splines):
-                W = bspec.windows[si]
-                td = _TANGENT_DIMS[sp.kind]
-                base = sp.tangent_offset + ib[si] * td
-                cols.append(base + jnp.arange(W * td, dtype=jnp.int32))
+        cols = [cols_ref, cols_obs]
         Js_parts = [J_ref, J_obs, Js]
         cols.append(
             spec.sensor_offset

@@ -3,6 +3,7 @@
 in a reference view, unproject to world through trajectory+camera, then solve
 the rolling-shutter projection time constraint exactly with brentq. Camera
 measurements must then reproduce the stored uv."""
+import tempfile
 from pathlib import Path
 
 import h5py
@@ -95,7 +96,12 @@ def small_sfm(request, camera, trajectory):
     """Cached synthetic structure per (trajectory, camera) pair."""
     camera_id = camera.__class__.__name__.split("Camera")[0]
     traj_id = trajectory.__class__.__name__.split("Trajectory")[0]
-    cachedir = Path(request.config.cache.mkdir("structure"))
+    cache = getattr(request.config, "cache", None)
+    if cache is not None:
+        cachedir = Path(cache.mkdir("structure"))
+    else:  # -p no:cacheprovider
+        cachedir = Path(tempfile.gettempdir()) / "kontiki_tpu_structure_cache"
+        cachedir.mkdir(parents=True, exist_ok=True)
     structpath = cachedir / f"{traj_id}{camera_id}_structure.h5"
     relposepath = cachedir / f"{traj_id}{camera_id}_camera.h5"
     if not (structpath.exists() and relposepath.exists()):
