@@ -1,0 +1,622 @@
+"""Fused Pallas TPU kernel for the staged camera-row linearization.
+
+This is the north-star kernel (SURVEY §7.2): the residual + Jacobian sweep
+of rolling-shutter camera rows — the dominant stage of the flagship LM step
+(~85% of the step time as an XLA jacfwd sweep, BENCH_NOTES.md). The XLA
+path evaluates the staged chain rule with tens of small ``[M, seeds, k]``
+intermediates round-tripping HBM; this kernel keeps one 128-row tile's
+*entire* linearization — 4-knot window evaluation (cumulative SO3/SE3
+composition, reference uniform_so3_spline_trajectory.h:81-122 /
+uniform_se3_spline_trajectory.h:101-194, scalar loop spline_base.h:148-163),
+the (p, q)-bottleneck chain rule, and the projection Jacobian — resident in
+VMEM.
+
+Design
+------
+- **Structure-of-arrays component math.** All values live as tuples of
+  ``[..., T]`` vectors (T = 128 rows in the lane dimension); quaternion /
+  SE3 ops are written component-wise (pure VPU elementwise chains, no
+  tiny-last-dim relayouts, no in-kernel gathers).
+- **Seed-batched forward mode.** ``jax.linearize`` evaluates the primal
+  chain once; the linear tangent map is then vmapped over one-hot seeds, so
+  every tangent intermediate is one ``[S, T]`` block (S seeds in the
+  sublane dimension) — the in-VMEM equivalent of ``ceres::Jet<T, S>``.
+- **The time derivative is a 25th seed.** Instead of the product-rule
+  velocity/angular-velocity accumulation, the window evaluation takes a
+  time-shift input ``s`` (primal 0) with ``u_eff = u + s/dt``; column
+  ``d(p,q)/dt`` falls out of the same linearization. This gives the
+  time-offset and lifting-vt Jacobian columns without any extra math.
+- **Gathers stay in XLA.** Per-row knot windows, landmark inverse depths
+  and sensor parameters are gathered outside (one coalesced pass) and
+  streamed through the kernel transposed (``[components, M]``) so the
+  block's minor dimension is the 128-row tile.
+
+The kernel reproduces ``solver.kernels._make_camera_staged.row_terms``
+exactly (pinned by tests/test_linearize_kernel.py): residual ``r``, the
+compressed Jacobian ``J [M, rdim, C]`` over [ref window (24) | obs window
+(24) | sensor (13) | vt (lifting)], and the split landmark column
+``J_rho``. Lock-masking and robust whitening stay in the caller, unchanged.
+
+Supported: rs_static / rs_lifting buckets, pinhole + atan cameras, spline
+sets ("se3",) and ("r3", "so3") — configs 3–5. rs_newton keeps the XLA
+path (its bounded inner Newton solve does not factor through the (p, q)
+bottleneck).
+"""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+#: 'auto' (Pallas on TPU, XLA component path elsewhere), 'pallas' (force,
+#: interpret off-TPU), 'xla' (the same math as one XLA program — used for
+#: equivalence testing), 'off' (keep the vmapped jacfwd staged path).
+LINEARIZE = os.environ.get("KONTIKI_LINEARIZE", "auto")
+
+_EPS = 1e-16      # quaternion log/exp Taylor guard (math.quaternion.EPS)
+_EPS3 = 1e-10     # theta^2 guard (math.se3._EPS)
+_EPSP = 1e-32     # projection denominator guard (camera_models._EPS)
+
+
+# ---------------------------------------------------------------------------
+# component-wise math on tuples of [..., T] arrays
+# (formulas mirror kontiki_tpu.math.{quaternion,se3} exactly, incl. guards)
+# ---------------------------------------------------------------------------
+
+def _qmul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return (
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    )
+
+
+def _qconj(q):
+    w, x, y, z = q
+    return (w, -x, -y, -z)
+
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _qrotate(q, v):
+    """(q (0,v) q*).vec via the 15-multiply form (quaternion.qrotate)."""
+    w = q[0]
+    qv = (q[1], q[2], q[3])
+    t = _cross(qv, v)
+    t = (2.0 * t[0], 2.0 * t[1], 2.0 * t[2])
+    c = _cross(qv, t)
+    return (v[0] + w * t[0] + c[0], v[1] + w * t[1] + c[1], v[2] + w * t[2] + c[2])
+
+
+def _so3_exp_quat(omega):
+    """Rotation vector -> unit quaternion (se3.so3_exp_quat, guards kept)."""
+    ox, oy, oz = omega
+    theta2 = ox * ox + oy * oy + oz * oz
+    small = theta2 <= _EPS3
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    half = 0.5 * theta
+    k = jnp.where(small, 0.5 - theta2 / 48.0, jnp.sin(half) / theta)
+    w = jnp.where(small, 1.0 - theta2 / 8.0, jnp.cos(half))
+    return (w, k * ox, k * oy, k * oz)
+
+
+def _so3_log(q):
+    """Unit quaternion -> minimal rotation vector (se3.so3_log branches)."""
+    w, x, y, z = q
+    n2 = x * x + y * y + z * z
+    small_n = n2 <= _EPS3
+    n = jnp.sqrt(jnp.where(small_n, 1.0, n2))
+    small_w = jnp.abs(w) <= 1e-10
+    w_safe = jnp.where(jnp.abs(w) <= _EPS3, 1.0, w)
+    k_small = 2.0 / w_safe - (2.0 / 3.0) * n2 / (w_safe ** 3)
+    k_pi = jnp.where(w >= 0, np.pi, -np.pi) / n
+    k_gen = 2.0 * jnp.arctan(n / jnp.where(small_w, 1.0, w)) / n
+    k = jnp.where(small_n, k_small, jnp.where(small_w, k_pi, k_gen))
+    return (k * x, k * y, k * z)
+
+
+def _V_apply(omega, u):
+    """Left Jacobian V(omega) @ u = u + a w x u + b w x (w x u)
+    (se3._so3_left_jacobian coefficients, W u = omega x u)."""
+    ox, oy, oz = omega
+    theta2 = ox * ox + oy * oy + oz * oz
+    small = theta2 <= _EPS3
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    a = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(
+        small, 1.0 / 6.0 - theta2 / 120.0,
+        (theta - jnp.sin(theta)) / (theta2 * theta),
+    )
+    c1 = _cross(omega, u)
+    c2 = _cross(omega, c1)
+    return (u[0] + a * c1[0] + b * c2[0],
+            u[1] + a * c1[1] + b * c2[1],
+            u[2] + a * c1[2] + b * c2[2])
+
+
+def _Vinv_apply(omega, t):
+    """V^{-1}(omega) @ t (se3._so3_left_jacobian_inv coefficients)."""
+    ox, oy, oz = omega
+    theta2 = ox * ox + oy * oy + oz * oz
+    small = theta2 <= _EPS3
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    sin_t = jnp.sin(theta)
+    safe = jnp.where(small | (jnp.abs(sin_t) <= _EPS3), 1.0, 2.0 * theta * sin_t)
+    c = jnp.where(
+        small,
+        1.0 / 12.0 + theta2 / 720.0,
+        1.0 / jnp.where(small, 1.0, theta2) - (1.0 + jnp.cos(theta)) / safe,
+    )
+    c1 = _cross(omega, t)
+    c2 = _cross(omega, c1)
+    return (t[0] - 0.5 * c1[0] + c * c2[0],
+            t[1] - 0.5 * c1[1] + c * c2[1],
+            t[2] - 0.5 * c1[2] + c * c2[2])
+
+
+def _logq_vec(q):
+    """Unit-quat log vector part k*v, k = atan2(|v|, w)/|v| (quaternion.logq)."""
+    w, x, y, z = q
+    v2 = x * x + y * y + z * z
+    small = v2 <= _EPS
+    vn = jnp.sqrt(jnp.where(small, 1.0, v2))
+    k = jnp.where(small, 1.0, jnp.arctan2(vn, w) / vn)
+    return (k * x, k * y, k * z)
+
+
+def _expq_pure(v):
+    """exp of a pure quaternion (0, v): (cos|v|, sinc(|v|) v) (quaternion.expq
+    with w = 0)."""
+    x, y, z = v
+    v2 = x * x + y * y + z * z
+    small = v2 <= _EPS
+    vn = jnp.sqrt(jnp.where(small, 1.0, v2))
+    ka = jnp.where(small, 1.0, jnp.cos(vn))
+    kv = jnp.where(small, 1.0, jnp.sin(vn) / vn)
+    return (ka, kv * x, kv * y, kv * z)
+
+
+def _cumulative_basis(u):
+    """B~(1..3) for interpolation amount u (spline_eval.M_CUMUL columns)."""
+    u2 = u * u
+    u3 = u2 * u
+    B1 = (5.0 + 3.0 * u - 3.0 * u2 + u3) / 6.0
+    B2 = (1.0 + 3.0 * u + 3.0 * u2 - 2.0 * u3) / 6.0
+    B3 = u3 / 6.0
+    return B1, B2, B3
+
+
+def _standard_basis(u):
+    """B(0..3) for the R3 spline (spline_eval.M_BASIS columns)."""
+    u2 = u * u
+    u3 = u2 * u
+    B0 = (1.0 - 3.0 * u + 3.0 * u2 - u3) / 6.0
+    B1 = (4.0 - 6.0 * u2 + 3.0 * u3) / 6.0
+    B2 = (1.0 + 3.0 * u + 3.0 * u2 - 3.0 * u3) / 6.0
+    B3 = u3 / 6.0
+    return B0, B1, B2, B3
+
+
+# ---------------------------------------------------------------------------
+# stage 1: window evaluation pq(delta, s) per spline set
+# ---------------------------------------------------------------------------
+
+def _pq_se3(win, u, dt, delta, s):
+    """SE3 cumulative window eval in (q, t) pair form.
+
+    win: [4][7] nested tuple of [T] components (packed w,x,y,z,tx,ty,tz);
+    delta [24, T] (per-knot Sophus right-increment, rows 6j+0..2 = trans,
+    6j+3..5 = rot); s [T] time shift (primal 0). Returns p(3) + q(4) tuples.
+    """
+    # retract: (q exp(w), t + R(q) v)  [kernels.retract_window 'se3']
+    kq, kt = [], []
+    for j in range(4):
+        q_j = tuple(win[j][k] for k in range(4))
+        t_j = tuple(win[j][4 + k] for k in range(3))
+        dv = (delta[6 * j + 0], delta[6 * j + 1], delta[6 * j + 2])
+        dw = (delta[6 * j + 3], delta[6 * j + 4], delta[6 * j + 5])
+        dq = _so3_exp_quat(dw)
+        dt_v = _V_apply(dw, dv)
+        q_new = _qmul(q_j, dq)
+        rt = _qrotate(q_j, dt_v)
+        t_new = (t_j[0] + rt[0], t_j[1] + rt[1], t_j[2] + rt[2])
+        kq.append(q_new)
+        kt.append(t_new)
+
+    u_eff = u + s / dt
+    B1, B2, B3 = _cumulative_basis(u_eff)
+    Bs = (B1, B2, B3)
+
+    Pq, Pt = kq[0], kt[0]
+    for j in (1, 2, 3):
+        # omega6 = log( inv(P_{j-1}) * P_j )
+        qi = _qconj(kq[j - 1])
+        ti = _qrotate(qi, kt[j - 1])
+        ti = (-ti[0], -ti[1], -ti[2])
+        q_rel = _qmul(qi, kq[j])
+        rt = _qrotate(qi, kt[j])
+        t_rel = (rt[0] + ti[0], rt[1] + ti[1], rt[2] + ti[2])
+        omega = _so3_log(q_rel)
+        ups = _Vinv_apply(omega, t_rel)
+        # A_j = exp(B_j * [ups, omega])
+        b = Bs[j - 1]
+        bo = (b * omega[0], b * omega[1], b * omega[2])
+        bu = (b * ups[0], b * ups[1], b * ups[2])
+        Aq = _so3_exp_quat(bo)
+        At = _V_apply(bo, bu)
+        # (Pq, Pt) = (Pq, Pt) * (Aq, At)
+        rt2 = _qrotate(Pq, At)
+        Pt = (Pt[0] + rt2[0], Pt[1] + rt2[1], Pt[2] + rt2[2])
+        Pq = _qmul(Pq, Aq)
+    return Pt + Pq  # 7-tuple (p, q)
+
+
+def _pq_split(win_r3, win_so3, u_r3, u_so3, dt_r3, dt_so3, delta, s,
+              r3_first):
+    """Split R3+SO3 window eval. delta rows: first spline's 12, then the
+    second's (order = spec.splines order, given by r3_first)."""
+    off_r3 = 0 if r3_first else 12
+    off_so3 = 12 if r3_first else 0
+
+    # R3: linear in knots; retract is plain addition.
+    u_eff = u_r3 + s / dt_r3
+    B = _standard_basis(u_eff)
+    p = [None] * 3
+    for k in range(3):
+        acc = 0.0
+        for j in range(4):
+            acc = acc + B[j] * (win_r3[j][k] + delta[off_r3 + 3 * j + k])
+        p[k] = acc
+
+    # SO3 cumulative: retract is LEFT exp-multiply (kernels.retract_window).
+    kq = []
+    for j in range(4):
+        q_j = tuple(win_so3[j][k] for k in range(4))
+        dw = (delta[off_so3 + 3 * j + 0], delta[off_so3 + 3 * j + 1],
+              delta[off_so3 + 3 * j + 2])
+        kq.append(_qmul(_so3_exp_quat(dw), q_j))
+
+    u_eff_q = u_so3 + s / dt_so3
+    B1, B2, B3 = _cumulative_basis(u_eff_q)
+    Bs = (B1, B2, B3)
+    q = kq[0]
+    for j in (1, 2, 3):
+        rel = _qmul(_qconj(kq[j - 1]), kq[j])
+        w = _logq_vec(rel)  # spline_eval.so3_window uses logq (atan2 form)
+        b = Bs[j - 1]
+        q = _qmul(q, _expq_pure((b * w[0], b * w[1], b * w[2])))
+    return (p[0], p[1], p[2]) + q
+
+
+# ---------------------------------------------------------------------------
+# stage 2: projection residual G(u_ref, u_obs, sensor deltas, drho, dvt)
+# ---------------------------------------------------------------------------
+
+def _project_pinhole(row, X):
+    """K X hnormalized; K streamed per row as 9 [T] components."""
+    K = row["K"]
+    px = K[0] * X[0] + K[1] * X[1] + K[2] * X[2]
+    py = K[3] * X[0] + K[4] * X[1] + K[5] * X[2]
+    pz = K[6] * X[0] + K[7] * X[1] + K[8] * X[2]
+    return (px / pz, py / pz)
+
+
+def _project_atan(row, X):
+    """Devernay-Faugeras FOV model (camera_models.atan_project)."""
+    K, wc, gamma = row["K"], row["wc"], row["gamma"]
+    Az = X[2] + _EPSP
+    A0 = X[0] / Az
+    A1 = X[1] / Az
+    L0 = A0 - wc[0]
+    L1 = A1 - wc[1]
+    r = jnp.sqrt(L0 * L0 + L1 * L1 + _EPSP)
+    f = jnp.arctan(r * gamma) / gamma
+    g0 = L0 / r
+    g1 = L1 / r
+    Y0 = wc[0] + f * g0
+    Y1 = wc[1] + f * g1
+    px = K[0] * Y0 + K[1] * Y1 + K[2]
+    py = K[3] * Y0 + K[4] * Y1 + K[5]
+    return (px, py)
+
+
+def _residual_G(row, camera, lifting, u_ref, u_obs, dsen, drho, dvt):
+    """The projection residual through the (p, q) bottleneck
+    (kernels._make_camera_staged.G, component form).
+
+    u_ref/u_obs: 7-tuples (p, q); dsen [6, T] (rot(3), trans(3)); drho,
+    dvt [T]. Returns rdim-tuple of [T]."""
+    p_ref = u_ref[:3]
+    q_ref = u_ref[3:]
+    p_obs = u_obs[:3]
+    q_obs = u_obs[3:]
+    # sensor retraction (kernels._sensor_at): q_ct = exp(d[0:3]) q_ct0
+    dq = _so3_exp_quat((dsen[0], dsen[1], dsen[2]))
+    q_ct = _qmul(dq, row["q_ct"])
+    p_ct = (row["p_ct"][0] + dsen[3], row["p_ct"][1] + dsen[4],
+            row["p_ct"][2] + dsen[5])
+    rho = row["rho"] + drho
+
+    # X_ref = R(q_ct)^T (yh_ref - rho p_ct); X = R(q_ref) X_ref + rho p_ref
+    yh = row["yh_ref"]
+    a = (yh[0] - rho * p_ct[0], yh[1] - rho * p_ct[1], yh[2] - rho * p_ct[2])
+    X_ref = _qrotate(_qconj(q_ct), a)
+    Xw = _qrotate(q_ref, X_ref)
+    X = (Xw[0] + rho * p_ref[0], Xw[1] + rho * p_ref[1], Xw[2] + rho * p_ref[2])
+    b = (X[0] - rho * p_obs[0], X[1] - rho * p_obs[1], X[2] - rho * p_obs[2])
+    X_o = _qrotate(_qconj(q_obs), b)
+    Xc = _qrotate(q_ct, X_o)
+    X_cam = (Xc[0] + rho * p_ct[0], Xc[1] + rho * p_ct[1], Xc[2] + rho * p_ct[2])
+    project = _project_atan if camera == "AtanCamera" else _project_pinhole
+    y = project(row, X_cam)
+    w = row["weight"]
+    r0 = w * (row["uv_obs"][0] - y[0])
+    r1 = w * (row["uv_obs"][1] - y[1])
+    if not lifting:
+        return (r0, r1)
+    vt = row["vt0"] + dvt
+    r2 = w * row["rows"] * (vt - row["vt_orig"])
+    return (r0, r1, r2)
+
+
+# ---------------------------------------------------------------------------
+# the fused tile function (shared by the Pallas kernel and the XLA path)
+# ---------------------------------------------------------------------------
+
+def _tile_linearize(cfg, ins):
+    """Linearize one tile. All entries of ``ins`` are [k, T] (or [T]) arrays;
+    returns (r [rdim, T], J [rdim*C, T], J_rho [rdim, T]).
+
+    cfg: dict(kind='se3'|'split', r3_first, camera, lifting, rdim, C).
+    """
+    lifting = cfg["lifting"]
+    camera = cfg["camera"]
+    rdim = cfg["rdim"]
+    dtype = ins["u_ref"].dtype
+    T = ins["u_ref"].shape[-1]
+
+    def comps(name, k):
+        arr = ins[name]
+        return tuple(arr[i] for i in range(k))
+
+    def win_comps(name, D):
+        arr = ins[name]  # [4*D, T]
+        return tuple(tuple(arr[j * D + k] for k in range(D)) for j in range(4))
+
+    row = {
+        "q_ct": comps("q_ct", 4),
+        "p_ct": comps("p_ct", 3),
+        "rho": ins["rho"][0],
+        "yh_ref": comps("yh_ref", 3),
+        "uv_obs": comps("uv_obs", 2),
+        "weight": ins["weight"][0],
+        "K": comps("K", 9),
+    }
+    if camera == "AtanCamera":
+        row["wc"] = comps("wc", 2)
+        row["gamma"] = ins["gamma"][0]
+    if lifting:
+        row["vt0"] = ins["vt0"][0]
+        row["vt_orig"] = ins["vt_orig"][0]
+        row["rows"] = ins["rows"][0]
+
+    zeros24 = jnp.zeros((24, T), dtype)
+    zerosT = jnp.zeros((T,), dtype)
+
+    # ---- stage 1: window evals, linearized over 24 knot seeds + time ----
+    if cfg["kind"] == "se3":
+        win_ref = win_comps("win_ref", 7)
+        win_obs = win_comps("win_obs", 7)
+        dt = ins["dts"][0]
+
+        def f_ref(delta, s):
+            return jnp.stack(_pq_se3(win_ref, ins["u_ref"][0], dt, delta, s))
+
+        def f_obs(delta, s):
+            return jnp.stack(_pq_se3(win_obs, ins["u_obs"][0], dt, delta, s))
+    else:
+        r3_first = cfg["r3_first"]
+        wr_ref = win_comps("win_ref_r3", 3)
+        ws_ref = win_comps("win_ref_so3", 4)
+        wr_obs = win_comps("win_obs_r3", 3)
+        ws_obs = win_comps("win_obs_so3", 4)
+        dt_r3 = ins["dts"][0]
+        dt_so3 = ins["dts"][1]
+
+        def f_ref(delta, s):
+            return jnp.stack(_pq_split(
+                wr_ref, ws_ref, ins["u_ref"][0], ins["u_ref_so3"][0],
+                dt_r3, dt_so3, delta, s, r3_first))
+
+        def f_obs(delta, s):
+            return jnp.stack(_pq_split(
+                wr_obs, ws_obs, ins["u_obs"][0], ins["u_obs_so3"][0],
+                dt_r3, dt_so3, delta, s, r3_first))
+
+    eye25 = jnp.eye(25, dtype=dtype)
+
+    def stage1(f):
+        pq, flin = jax.linearize(f, zeros24, zerosT)
+
+        def seed(e):
+            d_t = jnp.broadcast_to(e[:24, None], (24, T))
+            s_t = jnp.broadcast_to(e[24], (T,))
+            return flin(d_t, s_t)
+
+        Jw = jax.vmap(seed)(eye25)  # [25, 7, T]
+        return pq, Jw
+
+    pq_ref, Jw_ref = stage1(f_ref)
+    pq_obs, Jw_obs = stage1(f_obs)
+
+    # ---- stage 2: projection residual, linearized over 22 seeds ----
+    u_ref7 = tuple(pq_ref[k] for k in range(7))
+    u_obs7 = tuple(pq_obs[k] for k in range(7))
+
+    def G(du_ref, du_obs, dsen, drho, dvt):
+        ur = tuple(u_ref7[k] + du_ref[k] for k in range(7))
+        uo = tuple(u_obs7[k] + du_obs[k] for k in range(7))
+        return jnp.stack(
+            _residual_G(row, camera, lifting, ur, uo, dsen, drho, dvt)
+        )
+
+    zeros7 = jnp.zeros((7, T), dtype)
+    zeros6 = jnp.zeros((6, T), dtype)
+    r, Glin = jax.linearize(G, zeros7, zeros7, zeros6, zerosT, zerosT)
+
+    NS = 22  # 7 + 7 + 6 + 1 + 1
+    eyeS = jnp.eye(NS, dtype=dtype)
+
+    def seed2(e):
+        return Glin(
+            jnp.broadcast_to(e[0:7, None], (7, T)),
+            jnp.broadcast_to(e[7:14, None], (7, T)),
+            jnp.broadcast_to(e[14:20, None], (6, T)),
+            jnp.broadcast_to(e[20], (T,)),
+            jnp.broadcast_to(e[21], (T,)),
+        )
+
+    JG = jax.vmap(seed2)(eyeS)  # [22, rdim, T]
+
+    # ---- chain rule through the (p, q) bottleneck ----
+    # J_ref[r, c] = sum_k JG[k, r] * Jw_ref[c, k]
+    J_ref = jnp.zeros((rdim, 24, T), dtype)
+    J_obs = jnp.zeros((rdim, 24, T), dtype)
+    t_ref = jnp.zeros((rdim, T), dtype)   # dG/dt through the ref eval
+    t_obs = jnp.zeros((rdim, T), dtype)
+    for k in range(7):
+        J_ref = J_ref + JG[k][:, None, :] * Jw_ref[:24, k][None, :, :]
+        J_obs = J_obs + JG[7 + k][:, None, :] * Jw_obs[:24, k][None, :, :]
+        t_ref = t_ref + JG[k] * Jw_ref[24, k][None, :]
+        t_obs = t_obs + JG[7 + k] * Jw_obs[24, k][None, :]
+
+    # sensor block [rdim, 13, T]: q_ct(3), p_ct(3), d(1) = t_ref + t_obs,
+    # biases(6) = 0 (cameras never touch biases)
+    J_sen = jnp.concatenate(
+        [
+            jnp.stack([JG[14 + j] for j in range(6)], axis=1),
+            (t_ref + t_obs)[:, None, :],
+            jnp.zeros((rdim, 6, T), dtype),
+        ],
+        axis=1,
+    )
+    parts = [J_ref, J_obs, J_sen]
+    if lifting:
+        J_vt = JG[21] + t_obs * ins["readout"][0][None, :]
+        parts.append(J_vt[:, None, :])
+    J = jnp.concatenate(parts, axis=1)  # [rdim, C, T]
+    J_rho = JG[20]  # [rdim, T]
+
+    if "valid" in ins:
+        v = ins["valid"][0]
+        r = r * v[None, :]
+        J = J * v[None, None, :]
+        J_rho = J_rho * v[None, :]
+
+    C = J.shape[1]
+    return r, J.reshape(rdim * C, T), J_rho
+
+
+# ---------------------------------------------------------------------------
+# Pallas wrapper
+# ---------------------------------------------------------------------------
+
+def _make_kernel(cfg, names, ks):
+    def kernel(*refs):
+        ins = {}
+        for name, k, ref in zip(names, ks, refs[: len(names)]):
+            ins[name] = ref[...]
+        r_ref, J_ref_, Jr_ref = refs[len(names):]
+        r, J, J_rho = _tile_linearize(cfg, ins)
+        r_ref[...] = r
+        J_ref_[...] = J
+        Jr_ref[...] = J_rho
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg_key", "names", "ks", "interpret")
+)
+def _linearize_call(cfg_key, names, ks, interpret, *arrays):
+    """Pallas dispatch over row tiles. arrays are [k, M_pad] (transposed)."""
+    cfg = dict(cfg_key)
+    rdim, C = cfg["rdim"], cfg["C"]
+    M_pad = arrays[0].shape[-1]
+    n_tiles = M_pad // TILE
+    dtype = arrays[0].dtype
+
+    kernel = _make_kernel(cfg, names, ks)
+    in_specs = [
+        pl.BlockSpec((k, TILE), lambda i, _k=k: (0, i), memory_space=pltpu.VMEM)
+        for k in ks
+    ]
+    out_shapes = (
+        jax.ShapeDtypeStruct((rdim, M_pad), dtype),
+        jax.ShapeDtypeStruct((rdim * C, M_pad), dtype),
+        jax.ShapeDtypeStruct((rdim, M_pad), dtype),
+    )
+    out_specs = (
+        pl.BlockSpec((rdim, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rdim * C, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rdim, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=M_pad * 60_000, bytes_accessed=M_pad * 4 * (sum(ks) + rdim * (C + 2)),
+            transcendentals=M_pad * 200,
+        ),
+    )(*arrays)
+
+
+def linearize_rows(cfg, ins, backend="auto"):
+    """Run the fused linearization. ``ins``: dict of [k, M] arrays (already
+    transposed/gathered); returns (r [M, rdim], J [M, rdim, C],
+    J_rho [M, rdim])."""
+    names = tuple(sorted(ins.keys()))
+    M = ins[names[0]].shape[-1]
+    rdim, C = cfg["rdim"], cfg["C"]
+    if backend == "xla":
+        r, J, J_rho = _tile_linearize(cfg, ins)
+        return (
+            r.T,
+            J.reshape(rdim, C, M).transpose(2, 0, 1),
+            J_rho.T,
+        )
+    M_pad = max(((M + TILE - 1) // TILE) * TILE, TILE)
+    arrays = []
+    ks = []
+    for n in names:
+        a = ins[n]
+        if a.shape[-1] != M_pad:
+            a = jnp.pad(a, ((0, 0), (0, M_pad - M)))
+        arrays.append(a)
+        ks.append(a.shape[0])
+    cfg_key = tuple(sorted(cfg.items()))
+    interpret = jax.default_backend() != "tpu"
+    r, J, J_rho = _linearize_call(
+        cfg_key, names, tuple(ks), interpret, *arrays
+    )
+    return (
+        r[:, :M].T,
+        J[:, :M].reshape(rdim, C, M).transpose(2, 0, 1),
+        J_rho[:, :M].T,
+    )

@@ -76,44 +76,19 @@ def make_sharded_iterative_solver(problem, mesh, max_iterations=50,
     (state, final_cost, iterations)."""
     spec, runtime, rt_specs, parts = _build(problem, mesh, cg_tol, cg_maxiter)
 
+    from ..solver.lm import trust_region_loop
+
     def lm_loop(rt, state):
         def one_step(state, lam):
             return parts["step"](rt, state, lam, cg_tol, cg_maxiter)
 
-        def cond(carry):
-            state, mu, dec, cost, it, done = carry
-            return (~done) & (it < max_iterations)
-
-        def body(carry):
-            state, mu, dec, cost, it, done = carry
-            cost_i, new_state, new_cost, pred, delta, grad_max = one_step(
-                state, 1.0 / mu
-            )
-            relative_decrease = jnp.where(
-                pred > 0, (cost_i - new_cost) / pred, -1.0
-            )
-            ok = jnp.isfinite(new_cost) & (relative_decrease > 1e-3)
-            state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, b, a), state, new_state
-            )
-            mu_ok = mu / jnp.maximum(
-                1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3
-            )
-            mu = jnp.where(ok, jnp.minimum(mu_ok, 1e16), mu / dec)
-            dec = jnp.where(ok, 2.0, dec * 2.0)
-            new_cost_sel = jnp.where(ok, new_cost, cost_i)
-            done = ok & (
-                jnp.abs(cost_i - new_cost) <= function_tolerance * cost_i
-            )
-            return (state, mu, dec, new_cost_sel, it + 1, done)
-
-        dtype = rt["mask"].dtype
-        mu0 = jnp.asarray(1e4, dtype)
-        dec0 = jnp.asarray(2.0, dtype)
         cost0 = parts["total_cost"](rt, state)
-        carry = (state, mu0, dec0, cost0, jnp.asarray(0), jnp.asarray(False))
-        state, mu, dec, cost, it, done = jax.lax.while_loop(cond, body, carry)
-        return state, cost, it
+        return trust_region_loop(
+            one_step, cost0, state,
+            max_iterations=max_iterations,
+            function_tolerance=function_tolerance,
+            dtype=rt["mask"].dtype,
+        )
 
     solve_sm = jax.shard_map(
         lm_loop,

@@ -62,12 +62,12 @@ class _BucketLayout(NamedTuple):
 
 
 def _bucket_layout(spec, bspec, flags) -> _BucketLayout:
-    from . import kernels as _k
-
     # The staged camera path differentiates (and emits columns for) only
     # the active 4-knot window; all other paths use the bucket's full
-    # readout-slack window width.
-    staged = _k.JAC_STAGED and bspec.kind in ("rs_static", "rs_lifting")
+    # readout-slack window width. ``staged`` is snapshotted on the spec so
+    # this layout can never desync from the Jacobian width _bucket_terms
+    # emits (both are keyed on the same hashed BucketSpec).
+    staged = bspec.staged
     off = 0
     wins = []
     for tag in flags["tags"]:

@@ -75,6 +75,11 @@ class BucketSpec(NamedTuple):
     M: int
     rdim: int
     windows: Tuple[int, ...]  # W per spline, aligned with ProblemSpec.splines
+    #: staged (bottlenecked) camera Jacobian — snapshotted at spec build time
+    #: from KONTIKI_JAC_STAGED so every cache keyed on the spec (solver
+    #: builds, jit traces, bucket layouts) stays consistent with the emitted
+    #: Jacobian width even if the module flag is toggled later.
+    staged: bool = False
 
 
 class ProblemSpec(NamedTuple):
@@ -422,7 +427,6 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
     kind = bspec.kind
     lifting = kind == "rs_lifting"
     project, _ = _project_fns(bspec.camera)
-    C_KNOT = sum(4 * _TANGENT_DIMS[sp.kind] for sp in spec.splines)
 
     def stage_eval(runtime, state, t, dtype):
         """(u7, Jw [7, C_KNOT], dudt [7], cols [C_KNOT]) at time t."""
@@ -458,10 +462,11 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
                 def h_so3(delta):
                     win = retract_window("so3", sub, delta)
                     q_, w_ = ev.so3_window(win, u, dt)
-                    return q_, w_
+                    return q_, (q_, w_)
 
-                Jq, w = jax.jacfwd(h_so3, has_aux=True)(jnp.zeros((4, 3), dtype))
-                q, _ = h_so3(jnp.zeros((4, 3), dtype))
+                Jq, (q, w) = jax.jacfwd(h_so3, has_aux=True)(
+                    jnp.zeros((4, 3), dtype)
+                )
                 Jblk = jnp.concatenate(
                     [jnp.zeros((3, 12), dtype), Jq.reshape(4, 12)], axis=0
                 )
@@ -469,12 +474,12 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
                 def h_se3(delta):
                     win = retract_window("se3", sub, delta)
                     p_, v_, _, q_, w_ = ev.se3_window(win, u, dt)
-                    return jnp.concatenate([p_, q_]), (v_, q_, w_)
+                    u7_ = jnp.concatenate([p_, q_])
+                    return u7_, (u7_, v_, q_, w_)
 
-                Jblk, (v, q, w) = jax.jacfwd(h_se3, has_aux=True)(
+                Jblk, (u7, v, q, w) = jax.jacfwd(h_se3, has_aux=True)(
                     jnp.zeros((4, 6), dtype)
                 )
-                u7, _ = h_se3(jnp.zeros((4, 6), dtype))
                 p = u7[:3]
                 Jblk = Jblk.reshape(7, 24)
             J_parts.append(Jblk)
@@ -626,7 +631,7 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac,
     tags = flags["tags"]
     dtype = runtime["mask"].dtype
 
-    if with_jac and JAC_STAGED and bspec.kind in ("rs_static", "rs_lifting"):
+    if with_jac and bspec.staged:
         staged = _make_camera_staged(spec, bspec)
         return jax.vmap(
             lambda row: staged(runtime, state, row, split_rho)
@@ -841,7 +846,8 @@ def problem_spec(problem) -> ProblemSpec:
         M = getattr(b, "M", None)
         if M is None:
             M = len(b.measurements) + sum(len(m) for m, _ in b.batches)
-        buckets.append(BucketSpec(kind, camera, M, b.rdim, windows))
+        staged = JAC_STAGED and kind in ("rs_static", "rs_lifting")
+        buckets.append(BucketSpec(kind, camera, M, b.rdim, windows, staged))
     return ProblemSpec(
         splines=splines,
         buckets=tuple(buckets),

@@ -338,6 +338,52 @@ def solve(
     return state, summary
 
 
+def trust_region_loop(one_step, cost0, state, *, max_iterations,
+                      function_tolerance, dtype,
+                      min_relative_decrease=1e-3,
+                      max_trust_region_radius=1e16):
+    """The single on-device Ceres-style trust-region accept/reject loop.
+
+    Shared by every fused solver variant (dense, sharded, landmark-Schur,
+    iterative, segment-sharded) so the policy — radius mu with damping
+    1/mu, accept when relative decrease > 1e-3, Ceres radius update
+    ``mu / max(1/3, 1 - (2 rho - 1)^3)`` on success, halving with an
+    escalating decrease factor on failure — lives in exactly one place.
+
+    ``one_step(state, lam)`` must return a tuple whose first four entries
+    are ``(cost, new_state, new_cost, pred)`` (extra entries ignored).
+    Traceable: runs as one ``lax.while_loop``, usable inside jit or
+    shard_map. Returns ``(state, final_cost, iterations_run)``."""
+
+    def cond(carry):
+        state, mu, dec, cost, it, done = carry
+        return (~done) & (it < max_iterations)
+
+    def body(carry):
+        state, mu, dec, cost, it, done = carry
+        out = one_step(state, 1.0 / mu)
+        cost_i, new_state, new_cost, pred = out[0], out[1], out[2], out[3]
+        relative_decrease = jnp.where(pred > 0, (cost_i - new_cost) / pred, -1.0)
+        ok = jnp.isfinite(new_cost) & (relative_decrease > min_relative_decrease)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, b, a), state, new_state
+        )
+        mu_ok = mu / jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3
+        )
+        mu = jnp.where(ok, jnp.minimum(mu_ok, max_trust_region_radius), mu / dec)
+        dec = jnp.where(ok, 2.0, dec * 2.0)
+        new_cost_sel = jnp.where(ok, new_cost, cost_i)
+        done = ok & (jnp.abs(cost_i - new_cost) <= function_tolerance * cost_i)
+        return (state, mu, dec, new_cost_sel, it + 1, done)
+
+    mu0 = jnp.asarray(1e4, dtype)
+    dec0 = jnp.asarray(2.0, dtype)
+    carry = (state, mu0, dec0, cost0, jnp.asarray(0), jnp.asarray(False))
+    state, mu, dec, cost, it, done = jax.lax.while_loop(cond, body, carry)
+    return state, cost, it
+
+
 def make_fused_solver(problem: Problem, max_iterations=50, function_tolerance=1e-6,
                       strategy="auto"):
     """Fully on-device LM via lax.while_loop (no host round-trips).
@@ -346,31 +392,13 @@ def make_fused_solver(problem: Problem, max_iterations=50, function_tolerance=1e
     jittable function state -> (state, final_cost, iterations_run)."""
     step, total_cost = _make_step(problem, strategy)
 
-    def cond(carry):
-        state, mu, dec, cost, it, done = carry
-        return (~done) & (it < max_iterations)
-
-    def body(carry):
-        state, mu, dec, cost, it, done = carry
-        cost_i, new_state, new_cost, pred, delta, grad_max = step(state, 1.0 / mu)
-        relative_decrease = jnp.where(pred > 0, (cost_i - new_cost) / pred, -1.0)
-        ok = jnp.isfinite(new_cost) & (relative_decrease > 1e-3)
-        state = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(ok, b, a), state, new_state
-        )
-        mu_ok = mu / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3)
-        mu = jnp.where(ok, jnp.minimum(mu_ok, 1e16), mu / dec)
-        dec = jnp.where(ok, 2.0, dec * 2.0)
-        new_cost_sel = jnp.where(ok, new_cost, cost_i)
-        done = ok & (jnp.abs(cost_i - new_cost) <= function_tolerance * cost_i)
-        return (state, mu, dec, new_cost_sel, it + 1, done)
-
     def solve_fn(state):
-        mu0 = jnp.asarray(1e4, problem.mask.dtype)
-        dec0 = jnp.asarray(2.0, problem.mask.dtype)
         cost0 = total_cost(state)
-        carry = (state, mu0, dec0, cost0, jnp.asarray(0), jnp.asarray(False))
-        state, mu, dec, cost, it, done = jax.lax.while_loop(cond, body, carry)
-        return state, cost, it
+        return trust_region_loop(
+            step, cost0, state,
+            max_iterations=max_iterations,
+            function_tolerance=function_tolerance,
+            dtype=problem.mask.dtype,
+        )
 
     return solve_fn

@@ -40,15 +40,16 @@ prob = make_rsvi_problem(
 problem = Problem(prob["trajectory"], prob["measurements"])
 assert problem.state0["r3"].dtype == np.float32
 
-state, summary = solve(problem, max_iterations=40)
-problem.write_back(state)
 t1, t2 = prob["views"][0].t0, prob["views"][-1].t0
 ate0 = trajectory_ate(prob["true_trajectory"], prob["trajectory"], t1, t2, align="se3")
+state, summary = solve(problem, max_iterations=40)
+problem.write_back(state)
 ate = trajectory_ate(prob["true_trajectory"], prob["trajectory"], t1, t2, align="se3")
 cost_drop = summary.final_cost / max(summary.initial_cost, 1e-30)
 print(f"f32 tier: cost {summary.initial_cost:.4e} -> {summary.final_cost:.4e} "
-      f"(x{cost_drop:.2e}), aligned ATE {ate:.3e} m, "
+      f"(x{cost_drop:.2e}), aligned ATE {ate0:.3e} -> {ate:.3e} m, "
       f"{summary.num_successful_steps} accepted steps")
+assert ate < ate0, (ate, ate0)
 
 # Precision policy (documented in config.py): f32 state + f32 normal
 # equations must reach sub-millimeter ATE on meter-scale trajectories —

@@ -22,7 +22,7 @@ def _densify(r, J, cols, P):
 
 
 @pytest.mark.parametrize("rs", ["static", "lifting"])
-def test_staged_matches_monolithic(rs, monkeypatch):
+def test_staged_matches_monolithic(rs):
     prob = make_rsvi_problem(
         nviews=6, nlandmarks=9, imu_rate=0.0, seed=33, rs=rs, perturb_rho=0.1
     )
@@ -43,17 +43,19 @@ def test_staged_matches_monolithic(rs, monkeypatch):
     res, flags = K._make_residual(spec, bspec)
     data = runtime["data"][0]
 
-    monkeypatch.setattr(K, "JAC_STAGED", False)
+    # The staged flag is snapshotted on the BucketSpec (the hash key every
+    # cache is keyed on), so both variants are selected by _replace.
+    bs_mono = bspec._replace(staged=False)
     out_mono = jax.jit(
         lambda rt, st: K._bucket_terms(
-            spec, bspec, res, flags, rt, st, data, True, split_rho=True
+            spec, bs_mono, res, flags, rt, st, data, True, split_rho=True
         )
     )(runtime, state)
 
-    monkeypatch.setattr(K, "JAC_STAGED", True)
+    bs_staged = bspec._replace(staged=True)
     out_staged = jax.jit(
         lambda rt, st: K._bucket_terms(
-            spec, bspec, res, flags, rt, st, data, True, split_rho=True
+            spec, bs_staged, res, flags, rt, st, data, True, split_rho=True
         )
     )(runtime, state)
 
