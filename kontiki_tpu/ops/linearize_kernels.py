@@ -64,6 +64,49 @@ _EPSP = 1e-32     # projection denominator guard (camera_models._EPS)
 
 
 # ---------------------------------------------------------------------------
+# arctangent (Mosaic has no atan/atan2 primitive): seeded Newton on
+# tan(t) = x using the supported sin/cos, 3 iterations from a rational seed
+# (error 5e-3 -> ~1e-19, i.e. exact to f64 eps), analytic custom JVP.
+# ---------------------------------------------------------------------------
+
+@jax.custom_jvp
+def _atan(x):
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    z = jnp.where(inv, 1.0 / jnp.where(inv, ax, 1.0), ax)
+    t = z / (1.0 + 0.28086 * z * z)
+    for _ in range(3):
+        s = jnp.sin(t)
+        c = jnp.cos(t)
+        t = t - (s * c - z * c * c)  # (tan t - z) cos^2 t
+    t = jnp.where(inv, 0.5 * np.pi - t, t)
+    return jnp.where(x >= 0, t, -t)
+
+
+@_atan.defjvp
+def _atan_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return _atan(x), dx / (1.0 + x * x)
+
+
+@jax.custom_jvp
+def _atan2_pos(y, x):
+    """atan2(y, x) for y >= 0 (range [0, pi])."""
+    small_x = jnp.abs(x) <= 1e-300
+    r = _atan(y / jnp.where(small_x, 1.0, x))
+    return jnp.where(
+        small_x, 0.5 * np.pi, jnp.where(x >= 0, r, r + np.pi)
+    )
+
+
+@_atan2_pos.defjvp
+def _atan2_pos_jvp(primals, tangents):
+    (y, x), (dy, dx) = primals, tangents
+    d = y * y + x * x
+    return _atan2_pos(y, x), (x * dy - y * dx) / d
+
+
+# ---------------------------------------------------------------------------
 # component-wise math on tuples of [..., T] arrays
 # (formulas mirror kontiki_tpu.math.{quaternion,se3} exactly, incl. guards)
 # ---------------------------------------------------------------------------
@@ -122,7 +165,7 @@ def _so3_log(q):
     w_safe = jnp.where(jnp.abs(w) <= _EPS3, 1.0, w)
     k_small = 2.0 / w_safe - (2.0 / 3.0) * n2 / (w_safe ** 3)
     k_pi = jnp.where(w >= 0, np.pi, -np.pi) / n
-    k_gen = 2.0 * jnp.arctan(n / jnp.where(small_w, 1.0, w)) / n
+    k_gen = 2.0 * _atan(n / jnp.where(small_w, 1.0, w)) / n
     k = jnp.where(small_n, k_small, jnp.where(small_w, k_pi, k_gen))
     return (k * x, k * y, k * z)
 
@@ -172,7 +215,7 @@ def _logq_vec(q):
     v2 = x * x + y * y + z * z
     small = v2 <= _EPS
     vn = jnp.sqrt(jnp.where(small, 1.0, v2))
-    k = jnp.where(small, 1.0, jnp.arctan2(vn, w) / vn)
+    k = jnp.where(small, 1.0, _atan2_pos(vn, w) / vn)
     return (k * x, k * y, k * z)
 
 
@@ -322,7 +365,7 @@ def _project_atan(row, X):
     L0 = A0 - wc[0]
     L1 = A1 - wc[1]
     r = jnp.sqrt(L0 * L0 + L1 * L1 + _EPSP)
-    f = jnp.arctan(r * gamma) / gamma
+    f = _atan(r * gamma) / gamma
     g0 = L0 / r
     g1 = L1 / r
     Y0 = wc[0] + f * g0
@@ -445,17 +488,24 @@ def _tile_linearize(cfg, ins):
                 wr_obs, ws_obs, ins["u_obs"][0], ins["u_obs_so3"][0],
                 dt_r3, dt_so3, delta, s, r3_first))
 
-    eye25 = jnp.eye(25, dtype=dtype)
+    # one-hot seeds pre-split per argument: slicing a vmapped seed vector
+    # inside the kernel lowers to a lax.gather Mosaic cannot handle.
+    seeds_d = jnp.concatenate(
+        [jnp.eye(24, dtype=dtype), jnp.zeros((1, 24), dtype)]
+    )  # [25, 24]
+    seeds_s = jnp.concatenate(
+        [jnp.zeros((24,), dtype), jnp.ones((1,), dtype)]
+    )  # [25]
 
     def stage1(f):
         pq, flin = jax.linearize(f, zeros24, zerosT)
 
-        def seed(e):
-            d_t = jnp.broadcast_to(e[:24, None], (24, T))
-            s_t = jnp.broadcast_to(e[24], (T,))
+        def seed(ed, es):
+            d_t = jnp.broadcast_to(ed[:, None], (24, T))
+            s_t = jnp.broadcast_to(es, (T,))
             return flin(d_t, s_t)
 
-        Jw = jax.vmap(seed)(eye25)  # [25, 7, T]
+        Jw = jax.vmap(seed)(seeds_d, seeds_s)  # [25, 7, T]
         return pq, Jw
 
     pq_ref, Jw_ref = stage1(f_ref)
@@ -477,18 +527,22 @@ def _tile_linearize(cfg, ins):
     r, Glin = jax.linearize(G, zeros7, zeros7, zeros6, zerosT, zerosT)
 
     NS = 22  # 7 + 7 + 6 + 1 + 1
-    eyeS = jnp.eye(NS, dtype=dtype)
+    s_uref = jnp.eye(NS, 7, dtype=dtype)
+    s_uobs = jnp.eye(NS, 7, k=-7, dtype=dtype)
+    s_sen = jnp.eye(NS, 6, k=-14, dtype=dtype)
+    s_rho = jnp.eye(NS, 1, k=-20, dtype=dtype)[:, 0]
+    s_vt = jnp.eye(NS, 1, k=-21, dtype=dtype)[:, 0]
 
-    def seed2(e):
+    def seed2(ea, eb, ec, ed, ee):
         return Glin(
-            jnp.broadcast_to(e[0:7, None], (7, T)),
-            jnp.broadcast_to(e[7:14, None], (7, T)),
-            jnp.broadcast_to(e[14:20, None], (6, T)),
-            jnp.broadcast_to(e[20], (T,)),
-            jnp.broadcast_to(e[21], (T,)),
+            jnp.broadcast_to(ea[:, None], (7, T)),
+            jnp.broadcast_to(eb[:, None], (7, T)),
+            jnp.broadcast_to(ec[:, None], (6, T)),
+            jnp.broadcast_to(ed, (T,)),
+            jnp.broadcast_to(ee, (T,)),
         )
 
-    JG = jax.vmap(seed2)(eyeS)  # [22, rdim, T]
+    JG = jax.vmap(seed2)(s_uref, s_uobs, s_sen, s_rho, s_vt)  # [22, rdim, T]
 
     # ---- chain rule through the (p, q) bottleneck ----
     # J_ref[r, c] = sum_k JG[k, r] * Jw_ref[c, k]

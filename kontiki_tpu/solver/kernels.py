@@ -570,6 +570,141 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
     return row_terms
 
 
+def _fused_linearize_enabled(spec, bspec):
+    """Whether the fused Pallas/XLA linearization kernel covers this bucket
+    (ops/linearize_kernels.py): staged rs_static/rs_lifting rows over an SE3
+    or split R3+SO3 spline set."""
+    from ..ops import linearize_kernels as lk
+
+    if lk.LINEARIZE == "off" or not bspec.staged:
+        return False
+    kinds = tuple(sp.kind for sp in spec.splines)
+    if kinds != ("se3",) and sorted(kinds) != ["r3", "so3"]:
+        return False
+    if lk.LINEARIZE in ("pallas", "xla"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _camera_rows_fused(spec, bspec, runtime, state, data, split_rho):
+    """Gather + transpose row inputs, run the fused linearization kernel,
+    and emit (r, J, cols[, J_rho]) exactly like the vmapped staged path."""
+    from ..ops import linearize_kernels as lk
+
+    lifting = bspec.kind == "rs_lifting"
+    dtype = runtime["mask"].dtype
+    M = data["t0_ref"].shape[0]
+    d = state["d"][data["sid"]]
+    row_delta = data["readout"] / data["rows"]
+    t_ref = data["t0_ref"] + d + data["v_ref"] * row_delta
+    if lifting:
+        vt0 = state["vt"][data["vt_idx"]]
+        t_obs = data["t0_obs"] + d + vt0 * data["readout"]
+    else:
+        t_obs = data["t0_obs"] + d + data["v_obs"] * row_delta
+
+    kinds = tuple(sp.kind for sp in spec.splines)
+    se3 = kinds == ("se3",)
+    ins = {}
+    i0s = {"ref": [], "obs": []}
+    for si, sp in enumerate(spec.splines):
+        t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+        D = state[sp.kind].shape[1]
+        for tag, t in (("ref", t_ref), ("obs", t_obs)):
+            s = (t - t0) / dt
+            i0 = jnp.clip(
+                jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32),
+                0, sp.n - 4,
+            )
+            u = s - i0.astype(s.dtype)
+            win = ev.gather_windows(state[sp.kind], i0)  # [M, 4, D]
+            i0s[tag].append(i0)
+            if se3:
+                ins[f"win_{tag}"] = win.reshape(M, 4 * D).T
+                ins[f"u_{tag}"] = u[None, :]
+            else:
+                suffix = "_so3" if sp.kind == "so3" else "_r3"
+                ins[f"win_{tag}{suffix}"] = win.reshape(M, 4 * D).T
+                key = f"u_{tag}" + ("_so3" if sp.kind == "so3" else "")
+                ins[key] = u[None, :]
+    if se3:
+        ins["dts"] = jnp.broadcast_to(
+            jnp.asarray(runtime["spline_dt"][0], dtype), (1, M)
+        )
+    else:
+        r3_i = kinds.index("r3")
+        so3_i = kinds.index("so3")
+        ins["dts"] = jnp.stack(
+            [
+                jnp.broadcast_to(jnp.asarray(runtime["spline_dt"][r3_i], dtype), (M,)),
+                jnp.broadcast_to(jnp.asarray(runtime["spline_dt"][so3_i], dtype), (M,)),
+            ]
+        )
+
+    ins["q_ct"] = state["q_ct"][data["sid"]].T
+    ins["p_ct"] = state["p_ct"][data["sid"]].T
+    ins["rho"] = state["rho"][data["lid"]][None, :]
+    ins["yh_ref"] = data["yh_ref"].T
+    ins["uv_obs"] = data["uv_obs"].T
+    ins["weight"] = data["weight"][None, :]
+    ins["K"] = data["K"].reshape(M, 9).T
+    if bspec.camera == "AtanCamera":
+        ins["wc"] = data["wc"].T
+        ins["gamma"] = data["gamma"][None, :]
+    if lifting:
+        ins["vt0"] = vt0[None, :]
+        ins["vt_orig"] = data["vt_orig"][None, :]
+        ins["rows"] = data["rows"][None, :]
+        ins["readout"] = data["readout"][None, :]
+    if "valid" in data:
+        ins["valid"] = data["valid"][None, :]
+
+    C = 61 + (1 if lifting else 0)
+    cfg = dict(
+        kind="se3" if se3 else "split",
+        r3_first=bool(not se3 and kinds[0] == "r3"),
+        camera=bspec.camera,
+        lifting=lifting,
+        rdim=bspec.rdim,
+        C=C,
+    )
+    backend = "xla" if lk.LINEARIZE == "xla" else "auto"
+    r, J, J_rho = lk.linearize_rows(cfg, ins, backend=backend)
+
+    # column ids, in the staged order: ref windows, obs windows, sensor,
+    # (rho when not split), (vt)
+    cols = []
+    for tag in ("ref", "obs"):
+        for si, sp in enumerate(spec.splines):
+            td = _TANGENT_DIMS[sp.kind]
+            cols.append(
+                sp.tangent_offset
+                + i0s[tag][si][:, None] * td
+                + jnp.arange(4 * td, dtype=jnp.int32)[None, :]
+            )
+    cols.append(
+        spec.sensor_offset
+        + data["sid"][:, None] * SENSOR_TANGENT_DIM
+        + jnp.arange(SENSOR_TANGENT_DIM, dtype=jnp.int32)[None, :]
+    )
+    if not split_rho:
+        # insert the landmark column between sensor and vt
+        J = jnp.concatenate(
+            [J[..., :61], J_rho[..., None], J[..., 61:]], axis=-1
+        )
+        cols.append(
+            (spec.landmark_offset + data["lid"]).astype(jnp.int32)[:, None]
+        )
+    if lifting:
+        cols.append(
+            (spec.vt_offset + data["vt_idx"]).astype(jnp.int32)[:, None]
+        )
+    cols = jnp.concatenate(cols, axis=1)
+    if split_rho:
+        return r, J, cols, J_rho
+    return r, J, cols
+
+
 def _with_base_times(bspec, state, row):
     """Window base times from the current state's time offsets; windows are
     re-centered every linearization."""
@@ -632,6 +767,10 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac,
     dtype = runtime["mask"].dtype
 
     if with_jac and bspec.staged:
+        if _fused_linearize_enabled(spec, bspec):
+            return _camera_rows_fused(
+                spec, bspec, runtime, state, data, split_rho
+            )
         staged = _make_camera_staged(spec, bspec)
         return jax.vmap(
             lambda row: staged(runtime, state, row, split_rho)

@@ -1,0 +1,106 @@
+"""The fused linearization kernel (ops/linearize_kernels.py) must reproduce
+the staged jacfwd path exactly: same residuals, same compressed Jacobians,
+same column ids, same landmark columns — for SE3 and split R3+SO3 splines,
+static and lifting RS formulations, pinhole and atan cameras.
+
+The 'xla' backend runs the identical tile function as one XLA program (fast
+on CPU); one small case also runs the actual Pallas kernel in interpreter
+mode to validate the grid/BlockSpec plumbing.
+"""
+import jax
+import numpy as np
+import pytest
+
+from kontiki_tpu.ops import linearize_kernels as lk
+from kontiki_tpu.solver import kernels as K
+from kontiki_tpu.solver.problem import Problem
+from kontiki_tpu.synthetic import make_rsvi_problem
+
+
+def _problem(rs, trajectory, camera="pinhole"):
+    prob = make_rsvi_problem(
+        nviews=6, nlandmarks=9, imu_rate=0.0, seed=41, rs=rs,
+        trajectory=trajectory, camera_kind=camera, perturb_rho=0.1,
+    )
+    cam = prob["camera"]
+    cam.relative_orientation_locked = False
+    cam.relative_position_locked = False
+    cam.max_time_offset = 0.01
+    cam.time_offset_locked = False
+    return Problem(prob["trajectory"], prob["measurements"])
+
+
+def _staged_outputs(problem, split_rho):
+    spec = K.problem_spec(problem)
+    runtime = K.problem_runtime(problem)
+    state = problem.state0
+    bspec = spec.buckets[0]
+    assert bspec.kind.startswith("rs_") and bspec.staged
+    res, flags = K._make_residual(spec, bspec)
+    data = runtime["data"][0]
+    staged = K._make_camera_staged(spec, bspec)
+    ref = jax.vmap(lambda row: staged(runtime, state, row, split_rho))(data)
+    return spec, bspec, runtime, state, data, ref
+
+
+@pytest.mark.parametrize("trajectory", ["se3", "split"])
+@pytest.mark.parametrize("rs", ["static", "lifting"])
+def test_fused_matches_staged(trajectory, rs, monkeypatch):
+    monkeypatch.setattr(lk, "LINEARIZE", "xla")
+    problem = _problem(rs, trajectory)
+    for split_rho in (True, False):
+        spec, bspec, runtime, state, data, ref = _staged_outputs(
+            problem, split_rho
+        )
+        out = K._camera_rows_fused(spec, bspec, runtime, state, data, split_rho)
+        for a, b, name in zip(
+            out, ref, ("r", "J", "cols", "J_rho")[: len(ref)]
+        ):
+            a = np.asarray(a)
+            b = np.asarray(b)
+            if name == "cols":
+                np.testing.assert_array_equal(a, b, err_msg=name)
+            else:
+                np.testing.assert_allclose(
+                    a, b, rtol=5e-7, atol=1e-9, err_msg=name
+                )
+
+
+def test_fused_matches_staged_atan(monkeypatch):
+    monkeypatch.setattr(lk, "LINEARIZE", "xla")
+    problem = _problem("static", "split", camera="atan")
+    spec, bspec, runtime, state, data, ref = _staged_outputs(problem, True)
+    assert bspec.camera == "AtanCamera"
+    out = K._camera_rows_fused(spec, bspec, runtime, state, data, True)
+    for a, b, name in zip(out, ref, ("r", "J", "cols", "J_rho")):
+        a, b = np.asarray(a), np.asarray(b)
+        if name == "cols":
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=5e-7, atol=1e-9, err_msg=name)
+
+
+def test_pallas_interpret_matches_xla(monkeypatch):
+    """The actual pallas_call (interpreter mode off-TPU) must agree with the
+    XLA path on a tile-sized problem — validates BlockSpec/grid plumbing."""
+    problem = _problem("static", "se3")
+    spec = K.problem_spec(problem)
+    runtime = K.problem_runtime(problem)
+    state = problem.state0
+    bspec = spec.buckets[0]
+
+    monkeypatch.setattr(lk, "LINEARIZE", "xla")
+    r_x, J_x, c_x, Jr_x = K._camera_rows_fused(
+        spec, bspec, runtime, state, runtime["data"][0], True
+    )
+    monkeypatch.setattr(lk, "LINEARIZE", "pallas")
+    r_p, J_p, c_p, Jr_p = K._camera_rows_fused(
+        spec, bspec, runtime, state, runtime["data"][0], True
+    )
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_x), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J_p), np.asarray(J_x), rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Jr_p), np.asarray(Jr_x), rtol=1e-8,
+                               atol=1e-12)
