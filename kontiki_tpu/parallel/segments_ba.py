@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..solver.iterative import _bucket_layout
+from ..solver.iterative import _bucket_layout, duplicate_cross_diag
 from ..solver.kernels import (
     SENSOR_TANGENT_DIM,
     _TANGENT_DIMS,
@@ -95,11 +95,9 @@ def segment_ba_layout(problem, n_shards):
     n = n_shards
 
     # --- row ownership + halo sizing (host-side, offsets locked) ---------
-    owners = []
     i_refs = []
     max_dpos = 0  # obs window right of ref window (knots)
     max_dneg = 0
-    seg = max(int(math.ceil(nk / n)), W_max)
     for bspec, data in zip(spec.buckets, runtime["data"]):
         d = {k: np.asarray(v) for k, v in data.items()}
         if bspec.kind.startswith("rs_"):
@@ -116,19 +114,18 @@ def segment_ba_layout(problem, n_shards):
             t = d["t"] + (d0[d["sid"]] if "sid" in d else 0.0)
             i_ref = np.clip(((t - t0) / dt).astype(np.int64), 0, nk - 4)
         i_refs.append(i_ref)
-        owners.append(np.minimum(i_ref // seg, n - 1))
 
     if n == 1:
         Hl = Hr = 0
+        seg = nk
     else:
         Hl = max_dneg + W_max
         Hr = max_dpos + W_max
-        if Hl + Hr >= seg * (n - 1):
-            raise ValueError(
-                f"halo ({Hl}+{Hr}) too large for segment size {seg}; "
-                "landmark observation spans exceed the per-shard knot range"
-            )
+        # the halos are fetched with ONE ppermute hop, so each must fit
+        # inside the neighbor's segment
+        seg = max(int(math.ceil(nk / n)), W_max, Hl, Hr)
     nk_pad = seg * n
+    owners = [np.minimum(i_ref // seg, n - 1) for i_ref in i_refs]
 
     # --- landmark blocks: owner = owner of the landmark's rows ----------
     L = spec.num_landmarks
@@ -320,14 +317,18 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
         parts = []
         for si, sp in enumerate(spec.splines):
             km = jax.lax.dynamic_slice(
-                lay["kmask"][si], (s * seg, 0), (seg, tds[si])
+                lay["kmask"][si],
+                ((s * seg).astype(jnp.int32), jnp.zeros((), jnp.int32)),
+                (seg, tds[si]),
             )
             parts.append(km.reshape(-1))
         return jnp.concatenate(parts)
 
     def _own_mask_l():
         s = jax.lax.axis_index(MEASUREMENT_AXIS)
-        return jax.lax.dynamic_slice(lay["mask_l"], (s * Lb,), (Lb,))
+        return jax.lax.dynamic_slice(
+            lay["mask_l"], ((s * Lb).astype(jnp.int32),), (Lb,)
+        )
 
     # column remap: window positions index the local knot tangent space
     # as-is; sensor positions move to [Pk_loc, Pk_loc + ns)
@@ -393,14 +394,14 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
         diag_cat = jnp.zeros((Pk_loc + ns,), dtype)
         D = jnp.zeros((Lb,), dtype)
         g_l = jnp.zeros((Lb,), dtype)
-        for blk in blocks:
+        for blk, layout in zip(blocks, layouts):
             g_cat = g_cat.at[blk["cols"]].add(
                 jnp.einsum("mrc,mr->mc", blk["Jw"], blk["rw"])
             )
-            cols = blk["cols"]
-            eq = (cols[:, :, None] == cols[:, None, :]).astype(dtype)
-            Jt = jnp.einsum("mrc,mcd->mrd", blk["Jw"], eq)
-            diag_cat = diag_cat.at[cols].add(jnp.sum(Jt * blk["Jw"], axis=1))
+            diag_cat = diag_cat.at[blk["cols"]].add(
+                jnp.sum(blk["Jw"] ** 2, axis=1)
+                + duplicate_cross_diag(blk, layout, dtype)
+            )
             if "J_rho" in blk:
                 D = D.at[blk["lid"]].add(jnp.sum(blk["J_rho"] ** 2, axis=1))
                 g_l = g_l.at[blk["lid"]].add(
@@ -585,12 +586,15 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
         dc = (dc[0] * mask_own, dc[1] * lay["mask_sen"])
         dl = -(g_l + _e_matvec(blocks, *dc)) / D_d * mask_l
 
-        # pred + grad_max
-        gTd = _pdot((g_own, g_sen), dc) + jnp.dot(g_l, dl)
+        # pred + grad_max (landmark dots are over local blocks -> psum)
+        lm_dot = jax.lax.psum(jnp.dot(g_l, dl), MEASUREMENT_AXIS)
+        gTd = _pdot((g_own, g_sen), dc) + lm_dot
         H_own, H_sen = _rows_matvec(blocks, dc[0], dc[1])
         dHd = _pdot(dc, (H_own, H_sen))
         Edc = _e_matvec(blocks, *dc)
-        dHd = dHd + 2.0 * jnp.dot(dl, Edc) + jnp.dot(dl, D * dl)
+        dHd = dHd + jax.lax.psum(
+            2.0 * jnp.dot(dl, Edc) + jnp.dot(dl, D * dl), MEASUREMENT_AXIS
+        )
         pred = -(gTd + 0.5 * dHd)
         gmax_own = jax.lax.pmax(
             jnp.max(jnp.abs(g_own)) if Pown else jnp.zeros((), dtype),

@@ -85,6 +85,41 @@ def _bucket_layout(spec, bspec, flags) -> _BucketLayout:
     return _BucketLayout(tuple(wins), sensor_off, off)
 
 
+def duplicate_cross_diag(blk, layout, dtype):
+    """Extra diagonal mass from duplicate column ids within a row.
+
+    ``diag(H)[c]`` must square the *sum* of a row's entries that share a
+    column id. Duplicates only arise between the ref- and obs-window blocks
+    of camera buckets (the two knot windows can alias); within one window,
+    and for sensor/vt columns, ids are unique. Each window is a contiguous
+    id range, so the aliasing is a per-row *shift*: obs col ``j`` matches
+    ref col ``j + (base_obs - base_ref)``. Returns [M, C] additive
+    contributions aligned with ``blk['cols']`` (the 2ab cross terms placed
+    at the obs columns) — O(M*C) instead of the naive [M, C, C] mask."""
+    Jw, cols = blk["Jw"], blk["cols"]
+    M, rdim, C = Jw.shape
+    out = jnp.zeros((M, C), dtype)
+    by_si = {}
+    for w in layout.windows:
+        by_si.setdefault(w[1], []).append(w)
+    for si, ws in by_si.items():
+        if len(ws) != 2:
+            continue
+        (off_r, _, Wr, td), (off_o, _, Wo, _) = ws
+        nr, no = Wr * td, Wo * td
+        shift = cols[:, off_o] - cols[:, off_r]  # [M] id offset
+        idx = jnp.arange(no, dtype=shift.dtype)[None, :] + shift[:, None]
+        ok = (idx >= 0) & (idx < nr)
+        idxc = jnp.clip(idx, 0, nr - 1)
+        Jr = jnp.take_along_axis(
+            Jw[:, :, off_r:off_r + nr], idxc[:, None, :], axis=2
+        )
+        Jo = Jw[:, :, off_o:off_o + no]
+        cross = 2.0 * jnp.sum(Jr * Jo, axis=1) * ok.astype(dtype)
+        out = out.at[:, off_o:off_o + no].add(cross)
+    return out
+
+
 @functools.lru_cache(maxsize=None)
 def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
     """Raw solver functions for the matrix-free iterative-Schur path.
@@ -161,7 +196,7 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
         diag = jnp.zeros((Pc,), dtype)
         D = jnp.zeros((max(L, 1),), dtype)
         g_l = jnp.zeros((max(L, 1),), dtype)
-        for blk in blocks:
+        for blk, layout in zip(blocks, layouts):
             g_c = g_c.at[blk["cols"]].add(
                 jnp.einsum("mrc,mr->mc", blk["Jw"], blk["rw"])
             )
@@ -170,10 +205,10 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
             # true entry is (sum of duplicates)^2, which the LM damping is
             # proportional to — and along gauge directions the damping alone
             # determines the step, so this must match the dense path exactly.
-            cols = blk["cols"]
-            eq = (cols[:, :, None] == cols[:, None, :]).astype(blk["Jw"].dtype)
-            Jt = jnp.einsum("mrc,mcd->mrd", blk["Jw"], eq)
-            diag = diag.at[cols].add(jnp.sum(Jt * blk["Jw"], axis=1))
+            diag = diag.at[blk["cols"]].add(
+                jnp.sum(blk["Jw"] ** 2, axis=1)
+                + duplicate_cross_diag(blk, layout, dtype)
+            )
             if "J_rho" in blk:
                 D = D.at[blk["lid"]].add(jnp.sum(blk["J_rho"] ** 2, axis=1))
                 g_l = g_l.at[blk["lid"]].add(
