@@ -110,9 +110,13 @@ def _place(runtime, mesh):
     )
 
 
-def make_sharded_functions(problem, mesh):
-    """(cost_fn(state), linearize_fn(state) -> (cost, H, g)) with bucket data
-    sharded over ``mesh`` and results psum-reduced (replicated)."""
+def _sharded_pieces(problem, mesh):
+    """Raw shard_map'd (cost_sm, lin_sm)(rt, state) + placed runtime.
+
+    The sharded runtime is always passed as an *argument* into jit, never
+    closed over: in a multi-process job, closing over an array that spans
+    non-addressable devices is an error (single-process it is merely
+    equivalent)."""
     n = mesh.devices.size
     spec, runtime = padded_spec_and_runtime(problem, n)
     parts = build_parts(spec, jax.config.jax_enable_x64)
@@ -133,9 +137,18 @@ def make_sharded_functions(problem, mesh):
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
+    return cost_sm, lin_sm, parts, runtime
+
+
+def make_sharded_functions(problem, mesh):
+    """(cost_fn(state), linearize_fn(state) -> (cost, H, g)) with bucket data
+    sharded over ``mesh`` and results psum-reduced (replicated)."""
+    cost_sm, lin_sm, parts, runtime = _sharded_pieces(problem, mesh)
+    cost_j = jax.jit(cost_sm)
+    lin_j = jax.jit(lin_sm)
     return (
-        jax.jit(lambda state: cost_sm(runtime, state)),
-        jax.jit(lambda state: lin_sm(runtime, state)),
+        lambda state: cost_j(runtime, state),
+        lambda state: lin_j(runtime, state),
         parts,
         runtime,
     )
@@ -146,18 +159,23 @@ def make_sharded_step(problem, mesh):
 
     step(state, lam) -> (cost, new_state, new_cost, pred, delta, grad_max),
     same contract as the single-chip ``make_step``."""
-    cost_fn, lin_fn, parts, runtime = make_sharded_functions(problem, mesh)
+    cost_sm, lin_sm, parts, runtime = _sharded_pieces(problem, mesh)
 
-    def step(state, lam):
-        cost, H, g = lin_fn(state)
-        delta = damped_solve(runtime["mask"], H, g, lam)
-        new_state = parts["retract"](runtime, state, delta)
-        new_cost = cost_fn(new_state)
+    def step(rt, state, lam):
+        cost, H, g = lin_sm(rt, state)
+        delta = damped_solve(rt["mask"], H, g, lam)
+        new_state = parts["retract"](rt, state, delta)
+        new_cost = cost_sm(rt, new_state)
         pred = -(g @ delta + 0.5 * delta @ (H @ delta))
         grad_max = jnp.max(jnp.abs(g)) if g.shape[0] else jnp.zeros(())
         return cost, new_state, new_cost, pred, delta, grad_max
 
-    return jax.jit(step), jax.jit(cost_fn)
+    step_j = jax.jit(step)
+    cost_j = jax.jit(cost_sm)
+    return (
+        lambda state, lam: step_j(runtime, state, lam),
+        lambda state: cost_j(runtime, state),
+    )
 
 
 def make_sharded_solver(problem, mesh, max_iterations=50, function_tolerance=1e-6):
@@ -165,20 +183,20 @@ def make_sharded_solver(problem, mesh, max_iterations=50, function_tolerance=1e-
 
     Mirrors ``solver.lm.make_fused_solver`` but with the linearization
     sharded over the mesh. Returns state -> (state, final_cost, iterations)."""
-    cost_fn, lin_fn, parts, runtime = make_sharded_functions(problem, mesh)
+    cost_sm, lin_sm, parts, runtime = _sharded_pieces(problem, mesh)
 
     from ..solver.lm import trust_region_loop
 
-    def one_step(state, lam):
-        cost, H, g = lin_fn(state)
-        delta = damped_solve(runtime["mask"], H, g, lam)
-        new_state = parts["retract"](runtime, state, delta)
-        new_cost = cost_fn(new_state)
-        pred = -(g @ delta + 0.5 * delta @ (H @ delta))
-        return cost, new_state, new_cost, pred
+    def solve_fn(rt, state):
+        def one_step(state, lam):
+            cost, H, g = lin_sm(rt, state)
+            delta = damped_solve(rt["mask"], H, g, lam)
+            new_state = parts["retract"](rt, state, delta)
+            new_cost = cost_sm(rt, new_state)
+            pred = -(g @ delta + 0.5 * delta @ (H @ delta))
+            return cost, new_state, new_cost, pred
 
-    def solve_fn(state):
-        cost0 = cost_fn(state)
+        cost0 = cost_sm(rt, state)
         return trust_region_loop(
             one_step, cost0, state,
             max_iterations=max_iterations,
@@ -186,7 +204,8 @@ def make_sharded_solver(problem, mesh, max_iterations=50, function_tolerance=1e-
             dtype=problem.mask.dtype,
         )
 
-    return jax.jit(solve_fn)
+    solve_j = jax.jit(solve_fn)
+    return lambda state: solve_j(runtime, state)
 
 
 # Landmark-block-sharded Schur elimination (imported last: schur.py uses the

@@ -40,6 +40,17 @@ def initialize():
     global _initialized
     if _initialized:
         return is_multiprocess()
+    # A bootstrap may have wired the job before importing this package
+    # (jax.distributed.initialize must precede the first backend touch, and
+    # importing kontiki_tpu builds jnp constants): detect and adopt it.
+    try:
+        from jax._src.distributed import global_state as _gs
+
+        if _gs.client is not None:
+            _initialized = True
+            return is_multiprocess()
+    except Exception:
+        pass
     if os.environ.get("KONTIKI_DISTRIBUTED", "0") not in ("1", "true"):
         _initialized = True
         return False

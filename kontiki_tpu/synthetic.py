@@ -43,7 +43,9 @@ def _on_host_cpu():
     import jax
 
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: in a multi-process job devices()[0]
+        # can belong to another process (non-addressable outputs).
+        cpu = jax.local_devices(backend="cpu")[0]
     except Exception:
         yield
         return
