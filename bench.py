@@ -126,29 +126,54 @@ def measure_all(force_cpu=False):
 
 
 def measure_sharding_efficiency():
-    """T_1dev / T_8dev on the virtual CPU mesh (ideal 1.0; shared cores)."""
+    """T_1dev / T_8dev on the virtual CPU mesh for two sharded programs
+    (ideal 1.0: the 8 virtual devices share the same host cores, so any
+    deviation measures collective + padding overhead, not real scaling).
+    Each timing is the min of 3 runs — single-run numbers on a shared-core
+    host swing by tens of percent (the r2 1.17-vs-0.81 discrepancy)."""
     import jax
     from kontiki_tpu import parallel
-    from kontiki_tpu.synthetic import make_big_ba_problem
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import make_big_ba_problem, make_gyro_problem
+
+    def _ratio(build):
+        times = {}
+        for n in (1, 8):
+            solver = build(n)
+            out = solver()
+            jax.block_until_ready(out)
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = solver()
+                jax.block_until_ready(out)
+                samples.append(time.perf_counter() - t0)
+            times[n] = min(samples)
+        return round(times[1] / times[8], 3)
 
     big = make_big_ba_problem(
         n_views=240, n_landmarks=4000, obs_per_landmark=4, seed=7
     )
-    problem = big["problem"]
-    times = {}
-    for n in (1, 8):
-        mesh = parallel.default_mesh(n_devices=n)
+    ba = big["problem"]
+
+    def build_iter(n):
         solver = parallel.make_sharded_iterative_solver(
-            problem, mesh, max_iterations=6, function_tolerance=0.0,
-            cg_tol=1e-4, cg_maxiter=40,
+            ba, parallel.default_mesh(n_devices=n), max_iterations=6,
+            function_tolerance=0.0, cg_tol=1e-4, cg_maxiter=40,
         )
-        out = solver(problem.state0)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = solver(problem.state0)
-        jax.block_until_ready(out)
-        times[n] = time.perf_counter() - t0
-    return times[1] / times[8]
+        return lambda: solver(ba.state0)
+
+    gy = make_gyro_problem(duration=20.0, rate=400.0, seed=7)
+    gyp = Problem(gy["trajectory"], gy["measurements"])
+
+    def build_seg(n):
+        solver = parallel.make_segment_sharded_solver(
+            gyp, parallel.default_mesh(n_devices=n), max_iterations=6,
+            function_tolerance=0.0,
+        )
+        return lambda: solver(gyp.state0)
+
+    return {"iterative": _ratio(build_iter), "segments": _ratio(build_seg)}
 
 
 def main():
@@ -203,7 +228,7 @@ def main():
             baselines = None
 
     try:
-        eff = round(_child("mesh", 1800)["eff"], 3)
+        eff = _child("mesh", 1800)["eff"]
     except Exception:
         eff = None
 

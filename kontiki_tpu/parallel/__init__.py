@@ -224,6 +224,9 @@ __all__ += ["make_sharded_iterative_step", "make_sharded_iterative_solver"]
 from . import distributed as distributed  # noqa: E402
 
 __all__ += ["distributed"]
-from .segments import make_segment_sharded_step  # noqa: E402
+from .segments import (  # noqa: E402
+    make_segment_sharded_solver,
+    make_segment_sharded_step,
+)
 
-__all__ += ["make_segment_sharded_step"]
+__all__ += ["make_segment_sharded_step", "make_segment_sharded_solver"]

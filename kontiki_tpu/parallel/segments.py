@@ -46,7 +46,7 @@ from ..solver.kernels import (
 )
 from . import MEASUREMENT_AXIS, _pad_rows
 
-__all__ = ["make_segment_sharded_step"]
+__all__ = ["make_segment_sharded_step", "make_segment_sharded_solver"]
 
 _SINGLE_WINDOW = ("position", "orientation", "gyro", "accel")
 
@@ -413,6 +413,73 @@ def make_segment_sharded_step(problem, mesh):
 
     nb_tot = Pk // GBD
 
+    def _solve_local(Dband, Uband, gband, Bsen, Csen, gsen, lam):
+        """Distributed band solve (inside shard_map): SPIKE factorization of
+        the sharded block-tridiagonal system + replicated sensor border.
+        The solve phase is O(sb) per device — nothing O(total knots) is
+        factored or stored on any single device."""
+        from ..solver.banded import spike_block_tridiag_solve
+
+        s_idx = jax.lax.axis_index(MEASUREMENT_AXIS)
+        start = (s_idx * sb * GBD).astype(jnp.int32)
+        mask_loc = jax.lax.dynamic_slice(mask_band_j, (start,), (sb * GBD,))
+        diag_band = jax.vmap(jnp.diag)(Dband).reshape(sb * GBD)
+        damp = lam * jnp.clip(diag_band, 1e-6, 1e32) + (1.0 - mask_loc)
+        Dd = Dband + jax.vmap(jnp.diag)(damp.reshape(sb, GBD))
+        if ns:
+            Bloc = jax.lax.dynamic_slice(
+                Bsen[:ns], (jnp.zeros((), jnp.int32), start), (ns, sb * GBD)
+            )
+            rhs = jnp.concatenate(
+                [-gband[:, None], Bloc.T], axis=1
+            ).reshape(sb, GBD, 1 + ns)
+        else:
+            rhs = (-gband).reshape(sb, GBD, 1)
+        sol = spike_block_tridiag_solve(Dd, Uband, rhs, MEASUREMENT_AXIS, n)
+        sol = sol.reshape(sb * GBD, rhs.shape[-1])
+        y = sol[:, 0]
+        if ns:
+            X = sol[:, 1:]
+            diag_sen = jnp.diag(Csen)[:ns]
+            damp_s = lam * jnp.clip(diag_sen, 1e-6, 1e32) + (1.0 - mask_sen_j)
+            Cd = Csen[:ns, :ns] + jnp.diag(damp_s)
+            Ssen = Cd - jax.lax.psum(Bloc @ X, MEASUREMENT_AXIS)
+            rhs_s = -gsen[:ns] - jax.lax.psum(Bloc @ y, MEASUREMENT_AXIS)
+            x_sen = jnp.linalg.solve(Ssen, rhs_s)
+            x_band = y - X @ x_sen
+        else:
+            x_sen = jnp.zeros((0,), gband.dtype)
+            x_band = y
+
+        # pred / grad via one neighbor exchange: Hx needs the boundary
+        # blocks of x and U from the adjacent shards
+        xs = x_band.reshape(sb, GBD)
+        fwd = [(i, (i - 1) % n) for i in range(n)]   # from right neighbor
+        rev = [(i, (i + 1) % n) for i in range(n)]   # from left neighbor
+        x_next0 = jax.lax.ppermute(xs[0], MEASUREMENT_AXIS, fwd)
+        x_prevl = jax.lax.ppermute(xs[sb - 1], MEASUREMENT_AXIS, rev)
+        U_prevl = jax.lax.ppermute(Uband[sb - 1], MEASUREMENT_AXIS, rev)
+        lastm = (s_idx == n - 1).astype(gband.dtype)
+        firstm = (s_idx == 0).astype(gband.dtype)
+        Hx = jnp.einsum("kij,kj->ki", Dband, xs)
+        Hx = Hx.at[:-1].add(jnp.einsum("kij,kj->ki", Uband[:-1], xs[1:]))
+        Hx = Hx.at[sb - 1].add((1.0 - lastm) * (Uband[sb - 1] @ x_next0))
+        Hx = Hx.at[1:].add(jnp.einsum("kji,kj->ki", Uband[:-1], xs[:-1]))
+        Hx = Hx.at[0].add((1.0 - firstm) * (U_prevl.T @ x_prevl))
+        gTd_loc = gband @ x_band
+        dHd_loc = x_band @ Hx.reshape(sb * GBD)
+        gTd = jax.lax.psum(gTd_loc, MEASUREMENT_AXIS)
+        dHd = jax.lax.psum(dHd_loc, MEASUREMENT_AXIS)
+        if ns:
+            Bx = jax.lax.psum(Bloc @ x_band, MEASUREMENT_AXIS)
+            gTd = gTd + gsen[:ns] @ x_sen
+            dHd = dHd + 2.0 * x_sen @ Bx + x_sen @ (Csen[:ns, :ns] @ x_sen)
+        pred = -(gTd + 0.5 * dHd)
+        gmax = jax.lax.pmax(jnp.max(jnp.abs(gband)), MEASUREMENT_AXIS)
+        if ns:
+            gmax = jnp.maximum(gmax, jnp.max(jnp.abs(gsen[:ns])))
+        return x_band, x_sen, pred, gmax
+
     def _solve(Dband, Uband, gband, Bsen, Csen, gsen, lam):
         diag_band = jax.vmap(jnp.diag)(Dband).reshape(Pk)
         damp = lam * jnp.clip(diag_band, 1e-6, 1e32) + (1.0 - mask_band_j)
@@ -456,7 +523,30 @@ def make_segment_sharded_step(problem, mesh):
         )
         return delta, pred, grad_max
 
-    solve_j = jax.jit(_solve)
+    # With >= 2 super-blocks per shard the band solve runs distributed
+    # (SPIKE, O(sb) per device); tiny problems fall back to the replicated
+    # recursion.
+    if n > 1 and sb >= 2:
+        solve_sm = jax.shard_map(
+            _solve_local,
+            mesh=mesh,
+            in_specs=(
+                P(MEASUREMENT_AXIS), P(MEASUREMENT_AXIS), P(MEASUREMENT_AXIS),
+                P(), P(), P(), P(),
+            ),
+            out_specs=(P(MEASUREMENT_AXIS), P(), P(), P()),
+            check_vma=False,
+        )
+
+        def solve_j(Dband, Uband, gband, Bsen, Csen, gsen, lam):
+            x_band, x_sen, pred, gmax = solve_sm(
+                Dband, Uband, gband, Bsen, Csen, gsen, lam
+            )
+            delta = jnp.concatenate([x_band[perm_j], x_sen]) * problem.mask
+            return delta, pred, gmax
+
+    else:
+        solve_j = jax.jit(_solve)
 
     # padded-layout spec for retraction (knot arrays padded to nk_pad)
     pad_per = nk_pad - nk
@@ -520,3 +610,23 @@ def make_segment_sharded_step(problem, mesh):
         return cost_sm(runtime_p, _place_state(state))
 
     return step, total_cost
+
+
+def make_segment_sharded_solver(problem, mesh, max_iterations=50,
+                                function_tolerance=1e-6):
+    """Full on-device LM through the knot-segment-sharded step (shared
+    trust-region policy). Returns state -> (state, final_cost, iterations)."""
+    from ..solver.lm import trust_region_loop
+
+    step, total_cost = make_segment_sharded_step(problem, mesh)
+
+    def solve_fn(state):
+        cost0 = total_cost(state)
+        return trust_region_loop(
+            step, cost0, state,
+            max_iterations=max_iterations,
+            function_tolerance=function_tolerance,
+            dtype=problem.mask.dtype,
+        )
+
+    return jax.jit(solve_fn)

@@ -111,6 +111,105 @@ def block_tridiag_solve(D, U, rhs):
 
 
 # ---------------------------------------------------------------------------
+# SPIKE: distributed exact block-tridiagonal solve
+# ---------------------------------------------------------------------------
+
+def spike_block_tridiag_solve(D, U, rhs, axis_name, n_shards):
+    """Distributed exact solve of a symmetric block-tridiagonal system.
+
+    For use inside ``shard_map``: each of the ``n_shards`` devices holds
+    ``sb`` *consecutive* super-blocks of the global system —
+
+    - ``D [sb, B, B]``: diagonal blocks,
+    - ``U [sb, B, B]``: ``U[k]`` couples local block k to block k+1;
+      ``U[sb-1]`` couples to the NEXT shard's first block (must be zero on
+      the last shard),
+    - ``rhs [sb, B, R]``.
+
+    SPIKE algorithm (exact, no iteration): every shard factors its interior
+    once with ``R + 2B`` right-hand sides (the rhs plus the two boundary
+    "spikes"); the 2n boundary block-unknowns form a small reduced system
+    solved replicated after one ``all_gather`` (size 2 n B — e.g. 672 for
+    8 shards of 42-wide blocks); one local combination finishes. Replaces
+    the previous gather-everything-and-recurse solve: local work is O(sb),
+    communication O(n B (B + R)), and nothing O(total blocks) is ever
+    replicated. Requires ``sb >= 2`` (boundary rows must be distinct).
+
+    Returns the local solution ``x [sb, B, R]``.
+    """
+    sb, B, _ = D.shape
+    R = rhs.shape[-1]
+    dtype = D.dtype
+    n = n_shards
+    if n == 1:
+        return block_tridiag_solve(D, U, rhs)
+    if sb < 2:
+        raise ValueError("spike solve requires >= 2 super-blocks per shard")
+    idx = jax.lax.axis_index(axis_name)
+    first = (idx == 0).astype(dtype)
+    last = (idx == n - 1).astype(dtype)
+
+    # coupling INTO block 0 from the previous shard's last block: by
+    # symmetry this is U_global[s*sb - 1]^T = (previous shard's U[sb-1])^T
+    U_from_left = jax.lax.ppermute(
+        U[sb - 1], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    L_bnd = (1.0 - first) * U_from_left.T         # [B, B]
+    R_bnd = (1.0 - last) * U[sb - 1]              # [B, B]
+
+    # interior factorization with spike right-hand sides
+    U_loc = U.at[sb - 1].set(jnp.zeros((B, B), dtype))
+    aug = jnp.zeros((sb, B, R + 2 * B), dtype)
+    aug = aug.at[:, :, :R].set(rhs)
+    aug = aug.at[0, :, R:R + B].set(L_bnd)
+    aug = aug.at[sb - 1, :, R + B:].set(R_bnd)
+    sol = block_tridiag_solve(D, U_loc, aug)
+    Y = sol[:, :, :R]
+    W = sol[:, :, R:R + B]       # x += -W @ x_{prev shard, last block}
+    V = sol[:, :, R + B:]        # x += -V @ x_{next shard, first block}
+
+    # reduced interface system over the 2n boundary blocks
+    bound = jnp.stack([
+        jnp.concatenate([W[0], V[0], Y[0]], axis=1),
+        jnp.concatenate([W[sb - 1], V[sb - 1], Y[sb - 1]], axis=1),
+    ])  # [2, B, 2B + R]
+    allb = jax.lax.all_gather(bound, axis_name)   # [n, 2, B, 2B + R]
+
+    A = jnp.eye(2 * n * B, dtype=dtype)
+    y = jnp.zeros((2 * n * B, R), dtype)
+    for s in range(n):
+        for pos, row in ((0, s * 2), (1, s * 2 + 1)):
+            Wp = allb[s, pos, :, :B]
+            Vp = allb[s, pos, :, B:2 * B]
+            Yp = allb[s, pos, :, 2 * B:]
+            r0 = row * B
+            y = y.at[r0:r0 + B].set(Yp)
+            if s > 0:
+                c = (2 * (s - 1) + 1) * B   # x_{s-1, last}
+                A = A.at[r0:r0 + B, c:c + B].add(Wp)
+            if s < n - 1:
+                c = (2 * (s + 1)) * B       # x_{s+1, first}
+                A = A.at[r0:r0 + B, c:c + B].add(Vp)
+    z = jnp.linalg.solve(A, y).reshape(2 * n, B, R)
+
+    # local combination: x = Y - W z_{s-1,last} - V z_{s+1,first}
+    zero = jnp.zeros((), jnp.int32)
+    z_prev = jax.lax.dynamic_slice(
+        z,
+        (jnp.clip(2 * (idx - 1) + 1, 0, 2 * n - 1).astype(jnp.int32), zero, zero),
+        (1, B, R),
+    )[0]
+    z_next = jax.lax.dynamic_slice(
+        z,
+        (jnp.clip(2 * (idx + 1), 0, 2 * n - 1).astype(jnp.int32), zero, zero),
+        (1, B, R),
+    )[0]
+    x = Y - jnp.einsum("kbc,cr->kbr", W, z_prev) \
+          - jnp.einsum("kbc,cr->kbr", V, z_next)
+    return x
+
+
+# ---------------------------------------------------------------------------
 # band assembly from compressed Jacobian blocks
 # ---------------------------------------------------------------------------
 

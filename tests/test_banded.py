@@ -87,3 +87,45 @@ def test_banded_10k_knots_single_chip():
     c0, new_state, nc, pred, delta, g = step(problem.state0, 1e-2)
     assert float(nc) < float(c0)
     assert np.isfinite(np.asarray(delta)).all()
+
+
+def test_spike_matches_sequential_solve():
+    """The distributed SPIKE solve must equal the sequential block Cholesky
+    to roundoff, for several shard counts and block sizes."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from kontiki_tpu.parallel import default_mesh, MEASUREMENT_AXIS
+    from kontiki_tpu.solver.banded import (
+        block_tridiag_solve,
+        spike_block_tridiag_solve,
+    )
+
+    rng = np.random.default_rng(0)
+    for n, sb, B, R in ((2, 3, 5, 2), (4, 2, 7, 1), (8, 4, 6, 3)):
+        nb = n * sb
+        # random SPD block-tridiagonal system
+        U = rng.normal(size=(nb, B, B)) * 0.3
+        U[-1] = 0.0
+        D = np.einsum("kij,klj->kil", U, U) * 0 + np.stack(
+            [np.eye(B) * (B + 2.0) for _ in range(nb)]
+        )
+        D += np.stack([a @ a.T for a in rng.normal(size=(nb, B, B))]) * 0.1
+        rhs = rng.normal(size=(nb, B, R))
+
+        ref = np.asarray(block_tridiag_solve(
+            jnp.asarray(D), jnp.asarray(U), jnp.asarray(rhs)))
+
+        mesh = default_mesh(n_devices=n)
+        sm = jax.jit(jax.shard_map(
+            lambda d, u, r: spike_block_tridiag_solve(
+                d, u, r, MEASUREMENT_AXIS, n),
+            mesh=mesh,
+            in_specs=(P(MEASUREMENT_AXIS), P(MEASUREMENT_AXIS),
+                      P(MEASUREMENT_AXIS)),
+            out_specs=P(MEASUREMENT_AXIS),
+            check_vma=False,
+        ))
+        got = np.asarray(sm(jnp.asarray(D), jnp.asarray(U), jnp.asarray(rhs)))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10,
+                                   err_msg=f"n={n} sb={sb}")
