@@ -418,16 +418,11 @@ def _residual_G(row, camera, lifting, u_ref, u_obs, dsen, drho, dvt):
 # the fused tile function (shared by the Pallas kernel and the XLA path)
 # ---------------------------------------------------------------------------
 
-def _tile_linearize(cfg, ins):
-    """Linearize one tile. All entries of ``ins`` are [k, T] (or [T]) arrays;
-    returns (r [rdim, T], J [rdim*C, T], J_rho [rdim, T]).
-
-    cfg: dict(kind='se3'|'split', r3_first, camera, lifting, rdim, C).
-    """
+def _tile_prelude(cfg, ins):
+    """Shared setup: the per-row constant dict and the two window-eval
+    closures f(delta, s) -> pq [7, T]."""
     lifting = cfg["lifting"]
     camera = cfg["camera"]
-    rdim = cfg["rdim"]
-    dtype = ins["u_ref"].dtype
     T = ins["u_ref"].shape[-1]
 
     def comps(name, k):
@@ -455,10 +450,6 @@ def _tile_linearize(cfg, ins):
         row["vt_orig"] = ins["vt_orig"][0]
         row["rows"] = ins["rows"][0]
 
-    zeros24 = jnp.zeros((24, T), dtype)
-    zerosT = jnp.zeros((T,), dtype)
-
-    # ---- stage 1: window evals, linearized over 24 knot seeds + time ----
     if cfg["kind"] == "se3":
         win_ref = win_comps("win_ref", 7)
         win_obs = win_comps("win_obs", 7)
@@ -487,6 +478,45 @@ def _tile_linearize(cfg, ins):
             return jnp.stack(_pq_split(
                 wr_obs, ws_obs, ins["u_obs"][0], ins["u_obs_so3"][0],
                 dt_r3, dt_so3, delta, s, r3_first))
+
+    return row, f_ref, f_obs, T
+
+
+def _tile_cost(cfg, ins):
+    """Residuals only (the primal chain, no seeds): r [rdim, T]."""
+    lifting = cfg["lifting"]
+    camera = cfg["camera"]
+    dtype = ins["u_ref"].dtype
+    row, f_ref, f_obs, T = _tile_prelude(cfg, ins)
+    zeros24 = jnp.zeros((24, T), dtype)
+    zerosT = jnp.zeros((T,), dtype)
+    pq_ref = f_ref(zeros24, zerosT)
+    pq_obs = f_obs(zeros24, zerosT)
+    u_ref7 = tuple(pq_ref[k] for k in range(7))
+    u_obs7 = tuple(pq_obs[k] for k in range(7))
+    zeros6 = (zerosT,) * 6
+    r = jnp.stack(_residual_G(
+        row, camera, lifting, u_ref7, u_obs7, zeros6, zerosT, zerosT
+    ))
+    if "valid" in ins:
+        r = r * ins["valid"][0][None, :]
+    return r
+
+
+def _tile_linearize(cfg, ins):
+    """Linearize one tile. All entries of ``ins`` are [k, T] (or [T]) arrays;
+    returns (r [rdim, T], J [rdim*C, T], J_rho [rdim, T]).
+
+    cfg: dict(kind='se3'|'split', r3_first, camera, lifting, rdim, C).
+    """
+    lifting = cfg["lifting"]
+    camera = cfg["camera"]
+    rdim = cfg["rdim"]
+    dtype = ins["u_ref"].dtype
+    row, f_ref, f_obs, T = _tile_prelude(cfg, ins)
+
+    zeros24 = jnp.zeros((24, T), dtype)
+    zerosT = jnp.zeros((T,), dtype)
 
     # one-hot seeds pre-split per argument: slicing a vmapped seed vector
     # inside the kernel lowers to a lax.gather Mosaic cannot handle.
@@ -674,3 +704,120 @@ def linearize_rows(cfg, ins, backend="auto"):
         J[:, :M].reshape(rdim, C, M).transpose(2, 0, 1),
         J_rho[:, :M].T,
     )
+
+
+# ---------------------------------------------------------------------------
+# one-hot row expansion: compressed row Jacobians -> dense pair-window rows
+# (used by the banded segment-BA assembly; the XLA chunked one-hot path
+# round-trips the [chunk, C, WB] one-hot through HBM — tens of GB at config-5
+# scale — while this kernel keeps the expansion entirely in VMEM and writes
+# the dense rows exactly once)
+# ---------------------------------------------------------------------------
+
+def _make_expand_kernel(rdim, C, WB):
+    def kernel(Jw_ref, rel_ref, out_ref):
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (TILE, WB), 1)
+        acc = jnp.zeros((TILE, rdim * WB), Jw_ref.dtype)
+        for c in range(C):
+            onehot = (rel_ref[:, c][:, None] == iota_w).astype(Jw_ref.dtype)
+            parts = [
+                Jw_ref[:, r * C + c][:, None] * onehot for r in range(rdim)
+            ]
+            acc = acc + jnp.concatenate(parts, axis=1)
+        out_ref[...] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("WB", "interpret"))
+def onehot_expand_rows(Jw, rel, *, WB, interpret=False):
+    """Jd [M, rdim, WB] with Jd[m, r, rel[m, c]] += Jw[m, r, c].
+
+    ``rel`` entries outside [0, WB) are dropped. Scatter-free: a VPU
+    one-hot compare per compressed column, all in VMEM."""
+    M, rdim, C = Jw.shape
+    dtype = Jw.dtype
+    Mp = max(((M + TILE - 1) // TILE) * TILE, TILE)
+    Jw2 = Jw.reshape(M, rdim * C)
+    rel2 = rel.astype(jnp.int32)
+    if Mp != M:
+        Jw2 = jnp.pad(Jw2, ((0, Mp - M), (0, 0)))
+        rel2 = jnp.pad(rel2, ((0, Mp - M), (0, 0)), constant_values=-1)
+    out = pl.pallas_call(
+        _make_expand_kernel(rdim, C, WB),
+        grid=(Mp // TILE,),
+        out_shape=jax.ShapeDtypeStruct((Mp, rdim * WB), dtype),
+        in_specs=[
+            pl.BlockSpec((TILE, rdim * C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, rdim * WB), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * rdim * C * WB,
+            bytes_accessed=Mp * 4 * (rdim * C + C + rdim * WB),
+            transcendentals=0,
+        ),
+    )(Jw2, rel2)
+    return out[:M].reshape(M, rdim, WB)
+
+
+def _make_cost_kernel(cfg, names, ks):
+    def kernel(*refs):
+        ins = {}
+        for name, k, ref in zip(names, ks, refs[: len(names)]):
+            ins[name] = ref[...]
+        refs[len(names)][...] = _tile_cost(cfg, ins)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg_key", "names", "ks", "interpret")
+)
+def _cost_only_call(cfg_key, names, ks, interpret, *arrays):
+    cfg = dict(cfg_key)
+    rdim = cfg["rdim"]
+    M_pad = arrays[0].shape[-1]
+    dtype = arrays[0].dtype
+    return pl.pallas_call(
+        _make_cost_kernel(cfg, names, ks),
+        grid=(M_pad // TILE,),
+        out_shape=jax.ShapeDtypeStruct((rdim, M_pad), dtype),
+        in_specs=[
+            pl.BlockSpec((k, TILE), lambda i, _k=k: (0, i),
+                         memory_space=pltpu.VMEM)
+            for k in ks
+        ],
+        out_specs=pl.BlockSpec((rdim, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=M_pad * 3_000, bytes_accessed=M_pad * 4 * (sum(ks) + rdim),
+            transcendentals=M_pad * 30,
+        ),
+    )(*arrays)
+
+
+def cost_rows(cfg, ins, backend="auto"):
+    """Residuals only through the fused primal chain: r [M, rdim]."""
+    names = tuple(sorted(ins.keys()))
+    M = ins[names[0]].shape[-1]
+    if backend == "xla":
+        return _tile_cost(cfg, ins).T
+    M_pad = max(((M + TILE - 1) // TILE) * TILE, TILE)
+    arrays = []
+    ks = []
+    for n in names:
+        a = ins[n]
+        if a.shape[-1] != M_pad:
+            a = jnp.pad(a, ((0, 0), (0, M_pad - M)))
+        arrays.append(a)
+        ks.append(a.shape[0])
+    cfg_key = tuple(sorted(cfg.items()))
+    interpret = jax.default_backend() != "tpu"
+    r = _cost_only_call(cfg_key, names, tuple(ks), interpret, *arrays)
+    return r[:, :M].T

@@ -115,15 +115,24 @@ def segment_ba_layout(problem, n_shards):
             i_ref = np.clip(((t - t0) / dt).astype(np.int64), 0, nk - 4)
         i_refs.append(i_ref)
 
+    # Pair-block size for the banded reduced system: any single row's (and,
+    # because all of a landmark's rows share its reference window, any
+    # single landmark's) column support spans at most
+    # max_dneg + max_dpos + W_max consecutive knots, so with G = that span
+    # every row/landmark touches at most TWO consecutive G-blocks and the
+    # reduced system is block-tridiagonal in G-superblocks.
+    G = max(max_dpos + max_dneg + W_max, 2)
     if n == 1:
         Hl = Hr = 0
-        seg = nk
+        # one extra pad block so the (anchor, anchor+1) pair always exists
+        seg = (int(math.ceil(nk / G)) + 1) * G
     else:
-        Hl = max_dneg + W_max
-        Hr = max_dpos + W_max
-        # the halos are fetched with ONE ppermute hop, so each must fit
-        # inside the neighbor's segment
-        seg = max(int(math.ceil(nk / n)), W_max, Hl, Hr)
+        Hl = int(math.ceil((max_dneg + W_max) / G)) * G
+        Hr = int(math.ceil((max_dpos + W_max) / G)) * G
+        # one-ppermute-hop halos must fit in a neighbor's segment, and the
+        # distributed SPIKE band solve needs >= 2 superblocks per shard
+        seg = max(int(math.ceil(nk / n)), W_max, Hl, Hr, 2 * G)
+        seg = int(math.ceil(seg / G)) * G
     nk_pad = seg * n
     owners = [np.minimum(i_ref // seg, n - 1) for i_ref in i_refs]
 
@@ -150,10 +159,59 @@ def segment_ba_layout(problem, n_shards):
         slot[ids] = np.arange(len(ids))
     lid_to_padded = lm_owner * Lb + slot  # [L] -> index into [n*Lb]
 
+    # --- banded-block bookkeeping (host-side) ----------------------------
+    sbG = seg // G
+    hl_b, hr_b = Hl // G, Hr // G
+    nbloc = hl_b + sbG + hr_b
+
+    # per-landmark minimum window knot (all rows of a landmark are co-owned)
+    lm_imin = np.full(max(L, 1), 10**9, dtype=np.int64)
+    for bspec, data, i_ref in zip(spec.buckets, runtime["data"], i_refs):
+        if not bspec.kind.startswith("rs_"):
+            continue
+        d = {k: np.asarray(v) for k, v in data.items()}
+        dd = d0[d["sid"]]
+        t_obs = d["t0_obs"] + dd + d["v_obs"] * d["readout"] / d["rows"]
+        i_obs = np.clip(((t_obs - t0) / dt).astype(np.int64), 0, nk - 4)
+        i_min = np.minimum(i_ref, i_obs)
+        np.minimum.at(lm_imin, d["lid"], i_min)
+
+    # landmark anchor block (local ids) + per-(shard, anchor) slot layout
+    la_of_lm = np.zeros(max(L, 1), dtype=np.int64)
+    if L:
+        la_of_lm = np.where(
+            seen, lm_imin // G - lm_owner * sbG + hl_b, 0
+        )
+        if seen.any():
+            chk = la_of_lm[seen]
+            assert chk.min() >= 0 and chk.max() <= nbloc - 2, (
+                chk.min(), chk.max(), nbloc)
+    slot_in_anchor = np.zeros(max(L, 1), dtype=np.int64)
+    LaMax = 1
+    lid_of_slot = np.zeros((n, nbloc, 1), dtype=np.int64)
+    smask = np.zeros((n, nbloc, 1))
+    if L:
+        counts_sa = np.zeros((n, nbloc), dtype=np.int64)
+        for lid in range(L):
+            s, a = lm_owner[lid], la_of_lm[lid]
+            slot_in_anchor[lid] = counts_sa[s, a]
+            counts_sa[s, a] += 1
+        LaMax = max(int(counts_sa.max()), 1)
+        lid_of_slot = np.zeros((n, nbloc, LaMax), dtype=np.int64)
+        smask = np.zeros((n, nbloc, LaMax))
+        for lid in range(L):
+            s, a = lm_owner[lid], la_of_lm[lid]
+            lid_of_slot[s, a, slot_in_anchor[lid]] = slot[lid]
+            smask[s, a, slot_in_anchor[lid]] = 1.0
+
     # --- reindex rows per shard ------------------------------------------
     new_data = []
     new_buckets = []
-    for bspec, data, owner in zip(spec.buckets, runtime["data"], owners):
+    banded_tables = []
+    for bspec, data, owner, i_ref in zip(
+        spec.buckets, runtime["data"], owners, i_refs
+    ):
+        cam = bspec.kind.startswith("rs_")
         d = {k: np.asarray(v) for k, v in data.items()}
         counts = np.bincount(owner, minlength=n)
         M_per = max(int(counts.max()), 1)
@@ -163,23 +221,64 @@ def segment_ba_layout(problem, n_shards):
             rows = np.nonzero(owner == s)[0]
             idx[s * M_per: s * M_per + len(rows)] = rows
             valid[s * M_per: s * M_per + len(rows)] = 1.0
+        owner_row = np.arange(n * M_per) // M_per
+        # anchor block of each (reordered) row, as a *local* block id:
+        # camera rows anchor at their landmark's block (so one grouping
+        # serves both the H and the landmark-elimination passes)
+        if cam:
+            anchor = (lm_imin[d["lid"][idx]] // G
+                      - owner_row * sbG + hl_b)
+            lrel = slot_in_anchor[d["lid"][idx]]
+        else:
+            anchor = i_ref[idx] // G - owner_row * sbG + hl_b
+            lrel = None
         d = {k: v[idx] for k, v in d.items()}
         seg_start_t = t0 + (np.arange(n * M_per) // M_per) * seg * dt
         pin_t = seg_start_t + min(W_max + 1, max(seg - 4, 1)) * dt
-        if bspec.kind.startswith("rs_"):
+        # pad rows: pin inside the owning segment; their anchor comes from
+        # the pinned time (their contributions are zeroed by valid)
+        i_pin = np.clip(((pin_t - t0) / dt).astype(np.int64), 0, nk_pad - 4)
+        a_pin = np.clip(i_pin // G - owner_row * sbG + hl_b, 0, nbloc - 2)
+        anchor = np.where(valid > 0, anchor, a_pin)
+        assert anchor.min() >= 0 and anchor.max() <= nbloc - 2, (
+            anchor.min(), anchor.max(), nbloc)
+        if cam:
             d["t0_ref"] = np.where(valid > 0, d["t0_ref"], pin_t)
             d["t0_obs"] = np.where(valid > 0, d["t0_obs"], pin_t)
             d["v_ref"] = np.where(valid > 0, d["v_ref"], 0.0)
             d["v_obs"] = np.where(valid > 0, d["v_obs"], 0.0)
-            d["lid_slot"] = np.where(
-                valid > 0, slot[d["lid"]], 0
-            ).astype(np.int32)
             # local slot ids replace globals inside the shard program
-            d["lid"] = d["lid_slot"]
-            del d["lid_slot"]
+            d["lid"] = np.where(valid > 0, slot[d["lid"]], 0).astype(np.int32)
+            d["lrel"] = np.where(valid > 0, lrel, 0).astype(np.int32)
         else:
             d["t"] = np.where(valid > 0, d["t"], pin_t)
         d["valid"] = valid.astype(mask.dtype)
+        d["anchor"] = anchor.astype(np.int32)
+
+        # anchor-grouped row permutation (per shard, padded uniformly)
+        cnt = np.zeros((n, nbloc), dtype=np.int64)
+        for s in range(n):
+            a_s = anchor[s * M_per:(s + 1) * M_per]
+            v_s = valid[s * M_per:(s + 1) * M_per]
+            for a, v in zip(a_s, v_s):
+                if v > 0:
+                    cnt[s, a] += 1
+        Ma = max(int(cnt.max()), 1)
+        perm = np.zeros((n, nbloc, Ma), dtype=np.int64)
+        pmask = np.zeros((n, nbloc, Ma))
+        fill = np.zeros((n, nbloc), dtype=np.int64)
+        for s in range(n):
+            for r in range(M_per):
+                if valid[s * M_per + r] > 0:
+                    a = anchor[s * M_per + r]
+                    perm[s, a, fill[s, a]] = r
+                    pmask[s, a, fill[s, a]] = 1.0
+                    fill[s, a] += 1
+        banded_tables.append(dict(
+            perm=jnp.asarray(perm.reshape(n, nbloc * Ma).astype(np.int32)),
+            pmask=jnp.asarray(pmask.reshape(n, nbloc * Ma).astype(mask.dtype)),
+            Ma=Ma,
+        ))
         new_data.append({k: jnp.asarray(v) for k, v in d.items()})
         new_buckets.append(bspec._replace(M=n * M_per))
 
@@ -224,11 +323,20 @@ def segment_ba_layout(problem, n_shards):
         mask_l=jnp.asarray(mask_l), mask_sen=jnp.asarray(mask_sen),
         kmask=[jnp.asarray(m) for m in kmask],
         W_max=W_max,
+        # banded reduced-system structure
+        G=G, sbG=sbG, hl_b=hl_b, hr_b=hr_b, nbloc=nbloc, LaMax=LaMax,
+        lid_of_slot=jnp.asarray(
+            lid_of_slot.reshape(n, nbloc * LaMax).astype(np.int32)
+        ),
+        smask=jnp.asarray(
+            smask.reshape(n, nbloc * LaMax).astype(mask.dtype)
+        ),
+        banded_tables=banded_tables,
     )
     return spec, spec_local, runtime, lay
 
 
-def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
+def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
     n = mesh.devices.size
     spec, spec_local, runtime, lay = segment_ba_layout(problem, n)
     residuals = [_make_residual(spec_local, b) for b in spec_local.buckets]
@@ -344,11 +452,9 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
             pass  # vt columns never appear (rs_lifting unsupported here)
         col_shift.append(jnp.asarray(shift))
 
-    def _linearize_local(rt, state):
-        """Per-device compressed linearization.
-
-        Returns (cost, blocks, g_own, g_sen, diag_own, diag_sen, D, g_l,
-        kblocks, sblocks)."""
+    def _whitened_blocks(rt, state):
+        """(cost, blocks, mask_l): per-bucket compressed, lock-masked,
+        robust-whitened Jacobian blocks with cols in the local layout."""
         rt_l = _local_runtime(rt)
         st = _halo_state(state)
         mask_own = _own_mask()
@@ -382,12 +488,22 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
             sq = jnp.sqrt(rho_p)
             Jw = J * mask_cat[cols_m][:, None, :] * sq[:, None, None]
             rw = r * sq[:, None]
-            blk = {"rw": rw, "Jw": Jw, "cols": cols_m}
+            blk = {"rw": rw, "Jw": Jw, "cols": cols_m,
+                   "anchor": data["anchor"]}
             if J_rho is not None:
                 blk["J_rho"] = J_rho * sq[:, None] * mask_l[data["lid"]][:, None]
                 blk["lid"] = data["lid"]
+                blk["lrel"] = data["lrel"]
             blocks.append(blk)
         cost = jax.lax.psum(cost, MEASUREMENT_AXIS)
+        return cost, blocks, mask_l
+
+    def _linearize_local(rt, state):
+        """Per-device compressed linearization.
+
+        Returns (cost, blocks, g_own, g_sen, diag_own, diag_sen, D, g_l,
+        kblocks, sblocks)."""
+        cost, blocks, mask_l = _whitened_blocks(rt, state)
 
         # gradient + duplicate-aware diagonal over [Pk_loc + ns]
         g_cat = jnp.zeros((Pk_loc + ns,), dtype)
@@ -608,6 +724,273 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
                            jnp.max(jnp.abs(g_sen)) if ns else 0.0)
         return dc, dl, pred, gmax
 
+    # ---- banded-direct reduced solve --------------------------------------
+    #
+    # The scalable TPU path: instead of PCG (whose matvecs scatter per
+    # iteration), assemble the reduced system ONCE per LM iteration in
+    # block-tridiagonal pair form and solve it exactly with the distributed
+    # SPIKE factorization. Assembly is scatter-free: rows are expanded to
+    # dense pair-window Jacobians with a one-hot matmul and reduced
+    # per-anchor with batched MXU matmuls; landmark elimination is a
+    # batched rank-structured matmul over per-anchor landmark slots.
+    G, sbG = lay["G"], lay["sbG"]
+    hl_b, hr_b, nbloc = lay["hl_b"], lay["hr_b"], lay["nbloc"]
+    LaMax = lay["LaMax"]
+    BD = sum(tds)
+    GBD = G * BD
+    WB = 2 * GBD + ns
+    sub_off = np.concatenate([[0], np.cumsum(tds)[:-1]]).astype(np.int64)
+    Ma_static = [t["Ma"] for t in lay["banded_tables"]]
+
+    # static permutations between the per-spline-contiguous ("ps") and the
+    # knot-interleaved banded layouts, owned and local+halo domains
+    def _band_perms(n_knots, offsets):
+        ps_of_band = np.zeros(n_knots * BD, dtype=np.int64)
+        for si, td in enumerate(tds):
+            for k in range(n_knots):
+                for j in range(td):
+                    ps_of_band[k * BD + sub_off[si] + j] = (
+                        offsets[si] + k * td + j
+                    )
+        band_of_ps = np.zeros_like(ps_of_band)
+        band_of_ps[ps_of_band] = np.arange(len(ps_of_band))
+        return jnp.asarray(ps_of_band), jnp.asarray(band_of_ps)
+
+    ps_of_band_own, band_of_ps_own = _band_perms(seg, own_off)
+    ps_of_band_loc, band_of_ps_loc = _band_perms(nloc, loc_off)
+
+    def _colrel(blk, layout):
+        """Pair-window-relative column ids aligned with Jw's C axis:
+        knot cols -> banded id - anchor*GBD in [0, 2GBD); sensor cols ->
+        2GBD + slot."""
+        cols = blk["cols"]
+        M = cols.shape[0]
+        parts = []
+        for off, si, W, td in layout.windows:
+            k0 = (cols[:, off] - loc_off[si]) // td
+            w = jnp.arange(W, dtype=cols.dtype)
+            j = jnp.arange(td, dtype=cols.dtype)
+            b = (k0[:, None, None] + w[None, :, None]) * BD \
+                + sub_off[si] + j[None, None, :]
+            parts.append(b.reshape(M, W * td))
+        rel = jnp.concatenate(parts, axis=1) \
+            - (blk["anchor"].astype(cols.dtype) * GBD)[:, None]
+        if layout.sensor_off >= 0:
+            srel = cols[:, layout.sensor_off:
+                        layout.sensor_off + SENSOR_TANGENT_DIM] \
+                - Pk_loc + 2 * GBD
+            rel = jnp.concatenate([rel, srel], axis=1)
+        return rel
+
+    def _dense_rows(Jw, rel, chunk=4096):
+        """One-hot expansion Jd [M, rdim, WB] (scatter-free).
+
+        On TPU this is a Pallas kernel (the expansion never leaves VMEM);
+        elsewhere a chunked XLA one-hot matmul computes the identical
+        result."""
+        if jax.default_backend() == "tpu":
+            from ..ops.linearize_kernels import onehot_expand_rows
+
+            return onehot_expand_rows(Jw, rel, WB=WB)
+        M, rdim, C = Jw.shape
+        iota = jnp.arange(WB, dtype=rel.dtype)
+
+        def expand(args):
+            Jc, rc = args
+            oh = (rc[:, :, None] == iota[None, None, :]).astype(Jc.dtype)
+            return jnp.einsum("mrc,mcw->mrw", Jc, oh)
+
+        if M <= chunk:
+            return expand((Jw, rel))
+        Mp = -(-M // chunk) * chunk
+        Jp = jnp.pad(Jw, ((0, Mp - M), (0, 0), (0, 0)))
+        rp = jnp.pad(rel, ((0, Mp - M), (0, 0)))
+        out = jax.lax.map(
+            expand,
+            (Jp.reshape(-1, chunk, rdim, C), rp.reshape(-1, chunk, C)),
+        )
+        return out.reshape(Mp, rdim, WB)[:M]
+
+    def _halo_reduce_anchors(arr):
+        """[nbloc, ...] per-block quantities -> [sbG, ...] owned, with halo
+        blocks returned to their owners."""
+        core = arr[hl_b: hl_b + sbG]
+        if hl_b:
+            from_right = jax.lax.ppermute(arr[:hl_b], MEASUREMENT_AXIS, to_left)
+            core = core.at[sbG - hl_b:].add(from_right)
+        if hr_b:
+            from_left = jax.lax.ppermute(
+                arr[hl_b + sbG:], MEASUREMENT_AXIS, to_right
+            )
+            core = core.at[:hr_b].add(from_left)
+        return core
+
+    def _banded_solve(rt, blocks, mask_l, lam):
+        """Assemble the damped reduced band and solve it exactly.
+
+        Returns ((dc_own_ps, dc_sen), dl, pred, gmax) — the same contract
+        as the PCG ``_solve``."""
+        bt = rt["banded"]
+        mask_own = _own_mask()
+
+        Pa = jnp.zeros((nbloc, WB, WB), dtype)
+        ga = jnp.zeros((nbloc, WB), dtype)
+        Ea = jnp.zeros((nbloc, LaMax, WB), dtype)
+        Da = jnp.zeros((nbloc, LaMax), dtype)
+        gla = jnp.zeros((nbloc, LaMax), dtype)
+        for bi, (blk, layout) in enumerate(zip(blocks, layouts)):
+            rel = _colrel(blk, layout)
+            Jd = _dense_rows(blk["Jw"], rel)
+            Ma = Ma_static[bi]
+            perm = bt["buckets"][bi]["perm"][0]
+            pmask = bt["buckets"][bi]["pmask"][0]
+            rdim = Jd.shape[1]
+            Jg = Jd[perm].reshape(nbloc, Ma, rdim, WB) \
+                * pmask.reshape(nbloc, Ma)[:, :, None, None]
+            rg = blk["rw"][perm].reshape(nbloc, Ma, rdim) \
+                * pmask.reshape(nbloc, Ma)[:, :, None]
+            Pa = Pa + jnp.einsum("amrw,amrv->awv", Jg, Jg)
+            ga = ga + jnp.einsum("amrw,amr->aw", Jg, rg)
+            if "J_rho" in blk:
+                Jr = blk["J_rho"][perm].reshape(nbloc, Ma, rdim) \
+                    * pmask.reshape(nbloc, Ma)[:, :, None]
+                lrel = blk["lrel"][perm].reshape(nbloc, Ma)
+                ohL = (
+                    lrel[:, :, None]
+                    == jnp.arange(LaMax, dtype=lrel.dtype)[None, None, :]
+                ).astype(dtype) * pmask.reshape(nbloc, Ma)[:, :, None]
+                A = jnp.einsum("amr,amrw->amw", Jr, Jg)
+                Ea = Ea + jnp.einsum("aml,amw->alw", ohL, A)
+                Da = Da + jnp.einsum(
+                    "aml,am->al", ohL, jnp.sum(Jr * Jr, axis=2)
+                )
+                gla = gla + jnp.einsum(
+                    "aml,am->al", ohL, jnp.sum(Jr * rg, axis=2)
+                )
+
+        # damping diagonals come from A_cc (pre-elimination), exactly as in
+        # the PCG path / the exact-Schur path (damp-then-eliminate)
+        diagPa = jnp.einsum("aww->aw", Pa)
+        dband_blocks = diagPa[:, :GBD]
+        dband_blocks = dband_blocks.at[1:].add(diagPa[:-1, GBD:2 * GBD])
+        diag_band_own = _halo_reduce_anchors(dband_blocks).reshape(-1)
+        diag_sen = jax.lax.psum(
+            jnp.sum(diagPa[:, 2 * GBD:], axis=0), MEASUREMENT_AXIS
+        )
+        # raw (pre-elimination) gradient, for pred/gmax parity with PCG
+        graw_blocks = ga[:, :GBD]
+        graw_blocks = graw_blocks.at[1:].add(ga[:-1, GBD:2 * GBD])
+        g_own_band_raw = _halo_reduce_anchors(graw_blocks).reshape(-1)
+        g_sen_raw = jax.lax.psum(
+            jnp.sum(ga[:, 2 * GBD:], axis=0), MEASUREMENT_AXIS
+        )
+
+        # landmark elimination in slot space (damp-then-eliminate)
+        smask = bt["smask"][0]
+        lid_slot = bt["lid_of_slot"][0]
+        smask_a = smask.reshape(nbloc, LaMax)
+        mask_l_slots = mask_l[lid_slot].reshape(nbloc, LaMax) * smask_a
+        D_d_slots = Da + lam * jnp.clip(Da, 1e-6, 1e32) + (1.0 - mask_l_slots)
+        w_slots = smask_a / D_d_slots
+        Pa = Pa - jnp.einsum("alw,al,alv->awv", Ea, w_slots, Ea)
+        ga = ga - jnp.einsum("alw,al,al->aw", Ea, w_slots, gla)
+
+        # fold pair blocks into the band + sensor border
+        Dband = Pa[:, :GBD, :GBD]
+        Dband = Dband.at[1:].add(Pa[:-1, GBD:2 * GBD, GBD:2 * GBD])
+        Uband = Pa[:, :GBD, GBD:2 * GBD]
+        Bblocks = Pa[:, 2 * GBD:, :GBD]
+        Bblocks = Bblocks.at[1:].add(Pa[:-1, 2 * GBD:, GBD:2 * GBD])
+        Csen = jax.lax.psum(
+            jnp.sum(Pa[:, 2 * GBD:, 2 * GBD:], axis=0), MEASUREMENT_AXIS
+        )
+        gb_blocks = ga[:, :GBD]
+        gb_blocks = gb_blocks.at[1:].add(ga[:-1, GBD:2 * GBD])
+        Dband_own = _halo_reduce_anchors(Dband)
+        Uband_own = _halo_reduce_anchors(Uband)
+        Bown = _halo_reduce_anchors(Bblocks)            # [sbG, ns, GBD]
+        gband_own = _halo_reduce_anchors(gb_blocks).reshape(-1)
+        gsen = jax.lax.psum(jnp.sum(ga[:, 2 * GBD:], axis=0), MEASUREMENT_AXIS)
+
+        # damping + SPIKE solve with the sensor border as extra rhs columns
+        mask_band_own = mask_own[ps_of_band_own]
+        damp = lam * jnp.clip(diag_band_own, 1e-6, 1e32) + (1.0 - mask_band_own)
+        Dd = Dband_own + jax.vmap(jnp.diag)(damp.reshape(sbG, GBD))
+        if ns:
+            Bloc = Bown.transpose(1, 0, 2).reshape(ns, sbG * GBD)
+            rhs = jnp.concatenate(
+                [-gband_own[:, None], Bloc.T], axis=1
+            ).reshape(sbG, GBD, 1 + ns)
+        else:
+            rhs = (-gband_own).reshape(sbG, GBD, 1)
+        from ..solver.banded import (
+            block_tridiag_solve,
+            spike_block_tridiag_solve,
+        )
+
+        if n == 1:
+            sol = block_tridiag_solve(Dd, Uband_own, rhs)
+        else:
+            sol = spike_block_tridiag_solve(
+                Dd, Uband_own, rhs, MEASUREMENT_AXIS, n
+            )
+        sol = sol.reshape(sbG * GBD, rhs.shape[-1])
+        y = sol[:, 0]
+        if ns:
+            X = sol[:, 1:]
+            diag_s = diag_sen
+            damp_s = lam * jnp.clip(diag_s, 1e-6, 1e32) + (1.0 - lay["mask_sen"])
+            Cd = Csen + jnp.diag(damp_s)
+            Ssen = Cd - jax.lax.psum(Bloc @ X, MEASUREMENT_AXIS)
+            rhs_s = -gsen - jax.lax.psum(Bloc @ y, MEASUREMENT_AXIS)
+            x_sen = jnp.linalg.solve(Ssen, rhs_s) * lay["mask_sen"]
+            x_band = y - X @ x_sen
+        else:
+            x_sen = jnp.zeros((ns,), dtype)
+            x_band = y
+        x_band = x_band * mask_band_own
+        dc_own = x_band[band_of_ps_own]
+        dc = (dc_own * mask_own, x_sen)
+
+        # landmark back-substitution in slot space
+        x_loc_ps = _halo_fill(dc[0])
+        x_loc_band = x_loc_ps[ps_of_band_loc].reshape(nbloc, GBD)
+        xb_next = jnp.concatenate(
+            [x_loc_band[1:], jnp.zeros((1, GBD), dtype)], axis=0
+        )
+        dcw = jnp.concatenate(
+            [x_loc_band, xb_next,
+             jnp.broadcast_to(x_sen[None, :], (nbloc, ns))], axis=1
+        )
+        Edc_slots = jnp.einsum("alw,aw->al", Ea, dcw)
+        dl_slots = -(gla + Edc_slots) / D_d_slots * mask_l_slots
+        dl = jnp.zeros((Lb,), dtype).at[lid_slot].add(
+            jnp.where(smask > 0, dl_slots.reshape(-1), 0.0)
+        )
+
+        # pred/gmax exactly as the PCG path (shared matvec machinery)
+        D_lb = jnp.zeros((Lb,), dtype).at[lid_slot].add(
+            jnp.where(smask > 0, Da.reshape(-1), 0.0)
+        )
+        gl_lb = jnp.zeros((Lb,), dtype).at[lid_slot].add(
+            jnp.where(smask > 0, gla.reshape(-1), 0.0)
+        )
+        g_own_ps = g_own_band_raw[band_of_ps_own]
+        lm_dot = jax.lax.psum(jnp.dot(gl_lb, dl), MEASUREMENT_AXIS)
+        gTd = _pdot((g_own_ps, g_sen_raw), dc) + lm_dot
+        H_own, H_sen = _rows_matvec(blocks, dc[0], dc[1])
+        dHd = _pdot(dc, (H_own, H_sen))
+        Edc = _e_matvec(blocks, *dc)
+        dHd = dHd + jax.lax.psum(
+            2.0 * jnp.dot(dl, Edc) + jnp.dot(dl, D_lb * dl), MEASUREMENT_AXIS
+        )
+        pred = -(gTd + 0.5 * dHd)
+        gmax_own = jax.lax.pmax(jnp.max(jnp.abs(g_own_ps)), MEASUREMENT_AXIS)
+        gmax_l = jax.lax.pmax(jnp.max(jnp.abs(gl_lb)), MEASUREMENT_AXIS)
+        gmax = jnp.maximum(jnp.maximum(gmax_own, gmax_l),
+                           jnp.max(jnp.abs(g_sen_raw)) if ns else 0.0)
+        return dc, dl, pred, gmax
+
     def _retract_local(state, dc, dl):
         dc_own, dc_sen = dc
         new = dict(state)
@@ -644,7 +1027,7 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
                 cost = cost + 0.5 * jnp.sum(s2)
         return jax.lax.psum(cost, MEASUREMENT_AXIS)
 
-    def _step_local(rt, state, lam):
+    def _step_local_pcg(rt, state, lam):
         lin = _linearize_local(rt, state)
         cost, blocks = lin[0], lin[1]
         dc, dl, pred, gmax = _solve(blocks, lin, lam)
@@ -652,11 +1035,33 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
         new_cost = _cost_local(rt, new_state)
         return cost, new_state, new_cost, pred, (dc, dl), gmax
 
+    def _step_local_banded(rt, state, lam):
+        cost, blocks, mask_l = _whitened_blocks(rt, state)
+        dc, dl, pred, gmax = _banded_solve(rt, blocks, mask_l, lam)
+        new_state = _retract_local(state, dc, dl)
+        new_cost = _cost_local(rt, new_state)
+        return cost, new_state, new_cost, pred, (dc, dl), gmax
+
+    _step_local = _step_local_banded if mode == "banded" else _step_local_pcg
+
     # ---- sharding setup ---------------------------------------------------
+    # banded grouping tables ride the runtime (sharded on the leading shard
+    # axis) so per-shard values reach their device inside shard_map
+    runtime["banded"] = {
+        "buckets": [
+            {"perm": t["perm"], "pmask": t["pmask"]}
+            for t in lay["banded_tables"]
+        ],
+        "lid_of_slot": lay["lid_of_slot"],
+        "smask": lay["smask"],
+    }
     rt_specs = jax.tree_util.tree_map(lambda _: P(), runtime)
     rt_specs["data"] = [
         {k: P(MEASUREMENT_AXIS) for k in d} for d in runtime["data"]
     ]
+    rt_specs["banded"] = jax.tree_util.tree_map(
+        lambda _: P(MEASUREMENT_AXIS), runtime["banded"]
+    )
     runtime_p = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), runtime, rt_specs
     )
@@ -698,17 +1103,21 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter):
         spec=spec, lay=lay, runtime=runtime_p, rt_specs=rt_specs,
         st_specs=st_specs, step_local=_step_local, cost_local=_cost_local,
         to_sharded=_to_sharded, to_global=_to_global, mesh=mesh,
+        # debug/profiling handles
+        whitened_blocks=_whitened_blocks, banded_solve=_banded_solve,
+        linearize_local=_linearize_local,
     )
 
 
-def make_segment_ba_step(problem, mesh, cg_tol=1e-10, cg_maxiter=500):
+def make_segment_ba_step(problem, mesh, cg_tol=1e-10, cg_maxiter=500,
+                        mode="banded"):
     """step(state, lam) with knot-segment x landmark-block sharding.
 
     Contract matches ``kernels.make_step`` minus the dense delta (the delta
     slot returns the (sharded knots, sensor) tangent pair and landmark
     increments are applied in-place): returns (cost, new_state(global),
     new_cost, pred, grad_max)."""
-    b = _build_segment_ba(problem, mesh, cg_tol, cg_maxiter)
+    b = _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode)
     out_state_specs = dict(b["st_specs"])
 
     step_sm = jax.shard_map(
@@ -744,14 +1153,14 @@ def _drop_delta(out):
 
 def make_segment_ba_solver(problem, mesh, max_iterations=50,
                            function_tolerance=1e-6, cg_tol=1e-6,
-                           cg_maxiter=200):
+                           cg_maxiter=200, mode="banded"):
     """Fully on-device LM with the composed segment x landmark sharding:
     the entire trust-region loop runs inside one shard_map program; state
     stays sharded across iterations (knots by segment, landmarks by block).
     Returns state -> (state, final_cost, iterations)."""
     from ..solver.lm import trust_region_loop
 
-    b = _build_segment_ba(problem, mesh, cg_tol, cg_maxiter)
+    b = _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode)
 
     def lm_loop(rt, state):
         def one_step(st, lam):

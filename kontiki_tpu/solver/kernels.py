@@ -586,11 +586,12 @@ def _fused_linearize_enabled(spec, bspec):
     return jax.default_backend() == "tpu"
 
 
-def _camera_rows_fused(spec, bspec, runtime, state, data, split_rho):
-    """Gather + transpose row inputs, run the fused linearization kernel,
-    and emit (r, J, cols[, J_rho]) exactly like the vmapped staged path."""
-    from ..ops import linearize_kernels as lk
+def _fused_camera_inputs(spec, bspec, runtime, state, data):
+    """Shared gather/transpose stage for the fused camera kernels.
 
+    Returns (ins, cfg, i0s, vt0) — the transposed [k, M] input dict, the
+    static kernel config, per-spline window base indices (for column ids),
+    and the lifting row times."""
     lifting = bspec.kind == "rs_lifting"
     dtype = runtime["mask"].dtype
     M = data["t0_ref"].shape[0]
@@ -667,6 +668,28 @@ def _camera_rows_fused(spec, bspec, runtime, state, data, split_rho):
         lifting=lifting,
         rdim=bspec.rdim,
         C=C,
+    )
+    return ins, cfg, i0s, (vt0 if lifting else None)
+
+
+def _camera_rows_cost_fused(spec, bspec, runtime, state, data):
+    """Residuals only, through the fused kernel's primal path — the
+    re-cost phase of the LM step at camera scale (same math, no seeds)."""
+    from ..ops import linearize_kernels as lk
+
+    ins, cfg, _, _ = _fused_camera_inputs(spec, bspec, runtime, state, data)
+    backend = "xla" if lk.LINEARIZE == "xla" else "auto"
+    return lk.cost_rows(cfg, ins, backend=backend)
+
+
+def _camera_rows_fused(spec, bspec, runtime, state, data, split_rho):
+    """Gather + transpose row inputs, run the fused linearization kernel,
+    and emit (r, J, cols[, J_rho]) exactly like the vmapped staged path."""
+    from ..ops import linearize_kernels as lk
+
+    lifting = bspec.kind == "rs_lifting"
+    ins, cfg, i0s, vt0 = _fused_camera_inputs(
+        spec, bspec, runtime, state, data
     )
     backend = "xla" if lk.LINEARIZE == "xla" else "auto"
     r, J, J_rho = lk.linearize_rows(cfg, ins, backend=backend)
@@ -766,11 +789,13 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac,
     tags = flags["tags"]
     dtype = runtime["mask"].dtype
 
-    if with_jac and bspec.staged:
-        if _fused_linearize_enabled(spec, bspec):
+    if bspec.staged and _fused_linearize_enabled(spec, bspec):
+        if with_jac:
             return _camera_rows_fused(
                 spec, bspec, runtime, state, data, split_rho
             )
+        return _camera_rows_cost_fused(spec, bspec, runtime, state, data)
+    if with_jac and bspec.staged:
         staged = _make_camera_staged(spec, bspec)
         return jax.vmap(
             lambda row: staged(runtime, state, row, split_rho)

@@ -104,3 +104,26 @@ def test_pallas_interpret_matches_xla(monkeypatch):
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(Jr_p), np.asarray(Jr_x), rtol=1e-8,
                                atol=1e-12)
+
+
+def test_fused_cost_matches_residual_path(monkeypatch):
+    """The cost-only fused path must reproduce the vmapped residual path's
+    per-row residuals exactly (both static and lifting, se3 and split)."""
+    for traj, rs in (("se3", "static"), ("split", "lifting")):
+        monkeypatch.setattr(lk, "LINEARIZE", "off")
+        problem = _problem(rs, traj)
+        spec = K.problem_spec(problem)
+        runtime = K.problem_runtime(problem)
+        state = problem.state0
+        bspec = spec.buckets[0]
+        res, flags = K._make_residual(spec, bspec)
+        data = runtime["data"][0]
+        ref = K._bucket_terms(
+            spec, bspec, res, flags, runtime, state, data, False
+        )
+        monkeypatch.setattr(lk, "LINEARIZE", "xla")
+        got = K._camera_rows_cost_fused(spec, bspec, runtime, state, data)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-12,
+            err_msg=f"{traj}/{rs}",
+        )

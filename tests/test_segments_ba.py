@@ -34,7 +34,8 @@ def _problem(**kw):
     return make_big_ba_problem(**kw)
 
 
-def test_step_matches_single_chip():
+@pytest.mark.parametrize("mode", ["banded", "pcg"])
+def test_step_matches_single_chip(mode):
     big = _problem(imu_rate=50.0)
     problem = big["problem"]
     state0 = problem.state0
@@ -44,7 +45,7 @@ def test_step_matches_single_chip():
 
     mesh = parallel.default_mesh(n_devices=4)
     step, cost_fn = make_segment_ba_step(
-        problem, mesh, cg_tol=1e-12, cg_maxiter=400
+        problem, mesh, cg_tol=1e-12, cg_maxiter=400, mode=mode
     )
     out = step(state0, 1e-4)
 
