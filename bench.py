@@ -36,7 +36,7 @@ from pathlib import Path
 HERE = Path(__file__).resolve().parent
 CACHE = HERE / "BASELINE_MEASURED.json"
 
-MAX_ITERS = {"config1": 25, "config2": 25, "config3": 25, "config4": 25, "config5": 10}
+MAX_ITERS = {"config1": 25, "config2": 25, "config3": 25, "config4": 25, "config5": 6}
 
 
 def _build_solver(name):
@@ -76,15 +76,20 @@ def _build_solver(name):
             make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
             problem.state0,
         )
-    if name == "config5":  # long-sequence BA, matrix-free iterative Schur
+    if name == "config5":
+        # long-sequence BA at the BASELINE-specified scale (10k+ keyframes,
+        # 100k+ landmarks): composed knot-segment x landmark-block sharding
+        # with the banded-direct reduced solve (exact, scatter-free assembly)
+        from kontiki_tpu.parallel.segments_ba import make_segment_ba_solver
+
         big = make_big_ba_problem(
-            n_views=1000, n_landmarks=10_000, obs_per_landmark=5, seed=5
+            n_views=10_000, n_landmarks=100_000, obs_per_landmark=5, seed=5
         )
         problem = big["problem"]
         mesh = parallel.default_mesh(n_devices=1)
-        solver = parallel.make_sharded_iterative_solver(
+        solver = make_segment_ba_solver(
             problem, mesh, max_iterations=iters, function_tolerance=0.0,
-            cg_tol=1e-4, cg_maxiter=50,
+            mode="banded",
         )
         return solver, problem.state0
     raise ValueError(name)

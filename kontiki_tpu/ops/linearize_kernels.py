@@ -821,3 +821,156 @@ def cost_rows(cfg, ins, backend="auto"):
     interpret = jax.default_backend() != "tpu"
     r = _cost_only_call(cfg_key, names, tuple(ks), interpret, *arrays)
     return r[:, :M].T
+
+
+# ---------------------------------------------------------------------------
+# batched trajectory evaluation kernels (primal + time derivatives)
+#
+# The user-facing batched queries (position/velocity/acceleration/
+# orientation/angular_velocity over time arrays) run the same component
+# chains as the linearization kernel, with time derivatives taken as JVPs
+# through the u-shift input — v = dp/ds, a = d2p/ds2, omega = 2 (dq/ds q*)
+# with s in seconds. Replaces the reference's scalar per-call loop
+# (uniform_so3_spline_trajectory.h:81-122, uniform_se3_spline_trajectory.h:
+# 101-194) with one VMEM-resident pass per 128-query tile.
+# ---------------------------------------------------------------------------
+
+def _tile_eval(kind, ins):
+    """kind in ('r3','so3','se3'); ins: win [4D, T], u [1, T], dts [1, T].
+    Returns stacked outputs: r3 -> [9, T] (p,v,a); so3 -> [7, T] (q, w);
+    se3 -> [16, T] (p, v, a, q, w)."""
+    dtype = ins["u"].dtype
+    T = ins["u"].shape[-1]
+    u = ins["u"][0]
+    dt = ins["dts"][0]
+    zero = jnp.zeros((T,), dtype)
+    one = jnp.ones((T,), dtype)
+
+    def win_comps(D):
+        arr = ins["win"]
+        return tuple(tuple(arr[j * D + k] for k in range(D)) for j in range(4))
+
+    if kind == "r3":
+        win = win_comps(3)
+
+        def f(s):
+            u_eff = u + s / dt
+            B = _standard_basis(u_eff)
+            out = []
+            for k in range(3):
+                acc = zero
+                for j in range(4):
+                    acc = acc + B[j] * win[j][k]
+                out.append(acc)
+            return jnp.stack(out)
+
+        def fv(s):
+            return jax.jvp(f, (s,), (one,))[1]
+
+        p = f(zero)
+        v = fv(zero)
+        a = jax.jvp(fv, (zero,), (one,))[1]
+        return jnp.concatenate([p, v, a])
+
+    if kind == "so3":
+        win = win_comps(4)
+
+        def f(s):
+            u_eff = u + s / dt
+            B1, B2, B3 = _cumulative_basis(u_eff)
+            Bs = (B1, B2, B3)
+            q = tuple(win[0][k] for k in range(4))
+            for j in (1, 2, 3):
+                rel = _qmul(_qconj(win[j - 1]), win[j])
+                w3 = _logq_vec(rel)
+                b = Bs[j - 1]
+                q = _qmul(q, _expq_pure((b * w3[0], b * w3[1], b * w3[2])))
+            return jnp.stack(q)
+
+        q, dq = jax.jvp(f, (zero,), (one,))
+        # omega_world = 2 (dq q^-1).vec  (quaternion.angular_velocity)
+        qc = (q[0], -q[1], -q[2], -q[3])
+        dqt = (dq[0], dq[1], dq[2], dq[3])
+        wq = _qmul(dqt, qc)
+        w = jnp.stack([2.0 * wq[1], 2.0 * wq[2], 2.0 * wq[3]])
+        return jnp.concatenate([q, w])
+
+    # se3
+    win = win_comps(7)
+
+    def f(s):
+        out = _pq_se3(win, u, dt, jnp.zeros((24, T), dtype), s)
+        return jnp.stack(out)  # [7, T] (p, q)
+
+    def fd(s):
+        return jax.jvp(f, (s,), (one,))[1]
+
+    pq = f(zero)
+    dpq = fd(zero)
+    d2pq = jax.jvp(fd, (zero,), (one,))[1]
+    p, q = pq[:3], pq[3:]
+    v = dpq[:3]
+    a = d2pq[:3]
+    dq = dpq[3:]
+    qc = (q[0], -q[1], -q[2], -q[3])
+    wq = _qmul((dq[0], dq[1], dq[2], dq[3]), qc)
+    w = jnp.stack([2.0 * wq[1], 2.0 * wq[2], 2.0 * wq[3]])
+    return jnp.concatenate([p, v, a, q, w])
+
+
+_EVAL_OUT = {"r3": 9, "so3": 7, "se3": 16}
+
+
+def _make_eval_kernel(kind, D):
+    def kernel(win_ref, u_ref, dts_ref, out_ref):
+        ins = {"win": win_ref[...], "u": u_ref[...], "dts": dts_ref[...]}
+        out_ref[...] = _tile_eval(kind, ins)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "interpret"))
+def _eval_call(kind, interpret, win, u, dts):
+    D = win.shape[0] // 4
+    M_pad = win.shape[-1]
+    K = _EVAL_OUT[kind]
+    return pl.pallas_call(
+        _make_eval_kernel(kind, D),
+        grid=(M_pad // TILE,),
+        out_shape=jax.ShapeDtypeStruct((K, M_pad), win.dtype),
+        in_specs=[
+            pl.BlockSpec((4 * D, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(win, u, dts)
+
+
+def evaluate_windows(kind, windows, u, dt, backend="auto"):
+    """Batched spline-window evaluation through the component kernels.
+
+    windows [M, 4, D], u [M]; returns the per-kind output tuple
+    (r3: p, v, a; so3: q, w; se3: p, v, a, q, w), each [M, k]."""
+    M = windows.shape[0]
+    D = windows.shape[2]
+    win = windows.reshape(M, 4 * D).T
+    dts = jnp.broadcast_to(jnp.asarray(dt, win.dtype), (1, M))
+    u2 = u[None, :].astype(win.dtype)
+    if backend == "xla" or (backend == "auto" and jax.default_backend() != "tpu"):
+        out = _tile_eval(kind, {"win": win, "u": u2, "dts": dts})
+    else:
+        M_pad = max(((M + TILE - 1) // TILE) * TILE, TILE)
+        if M_pad != M:
+            win = jnp.pad(win, ((0, 0), (0, M_pad - M)))
+            u2 = jnp.pad(u2, ((0, 0), (0, M_pad - M)))
+            dts = jnp.pad(dts, ((0, 0), (0, M_pad - M)), constant_values=1.0)
+        out = _eval_call(kind, jax.default_backend() != "tpu", win, u2, dts)
+        out = out[:, :M]
+    if kind == "r3":
+        return out[0:3].T, out[3:6].T, out[6:9].T
+    if kind == "so3":
+        return out[0:4].T, out[4:7].T
+    return out[0:3].T, out[3:6].T, out[6:9].T, out[9:13].T, out[13:16].T

@@ -28,14 +28,30 @@ from .kernels import make_step
 from .problem import Problem
 
 
-def _make_step(problem, strategy):
-    """Pick the linear-solver strategy (Ceres SPARSE_SCHUR analogue).
+def _resolve_auto(problem):
+    """'auto' strategy choice (Ceres SPARSE_SCHUR analogue,
+    trajectory_estimator.h:40): eliminate landmarks whenever there are any.
+    On TPU, camera problems whose reduced system outgrows the Pallas
+    assembly kernel's VMEM gate (Pc beyond ~1024) would fall back to the
+    serialized XLA scatter; the matrix-free iterative-Schur path is the
+    right backend there (nothing dense is ever assembled)."""
+    import jax as _jax
 
-    'auto' eliminates landmarks whenever there are any — matching the
-    reference's always-SPARSE_SCHUR configuration
-    (trajectory_estimator.h:40)."""
+    if not len(problem.landmarks):
+        return "dense"
+    if _jax.default_backend() == "tpu":
+        from ..ops.assembly_kernels import assembly_supported
+
+        Pc = problem.num_tangent - len(problem.landmarks)
+        if not assembly_supported(Pc, len(problem.landmarks), 3, 88):
+            return "iterative_schur"
+    return "schur"
+
+
+def _make_step(problem, strategy):
+    """Pick the linear-solver strategy (Ceres SPARSE_SCHUR analogue)."""
     if strategy == "auto":
-        strategy = "schur" if len(problem.landmarks) else "dense"
+        strategy = _resolve_auto(problem)
     if strategy == "schur":
         from .schur import make_schur_step
 
@@ -401,4 +417,7 @@ def make_fused_solver(problem: Problem, max_iterations=50, function_tolerance=1e
             dtype=problem.mask.dtype,
         )
 
-    return solve_fn
+    # jit at the top level: trust_region_loop builds fresh while_loop
+    # closures per call, so an *eager* caller would miss the compile cache
+    # and recompile the entire solve every invocation
+    return jax.jit(solve_fn)

@@ -195,10 +195,31 @@ def se3_window(window, u, dt):
 # Batched spline evaluation over time arrays.
 # ---------------------------------------------------------------------------
 
+def _use_eval_kernel():
+    """Batched queries route through the Pallas component kernels on TPU
+    (ops/linearize_kernels.evaluate_windows); the vmapped jnp path stays
+    the reference implementation elsewhere."""
+    import os
+
+    if os.environ.get("KONTIKI_EVAL_KERNEL", "auto") == "off":
+        return False
+    # an active jax.default_device(cpu) context (e.g. host-side problem
+    # generation) overrides the backend: the compiled kernel must not be
+    # dispatched to a CPU device
+    dev = jax.config.jax_default_device
+    if dev is not None and getattr(dev, "platform", "tpu") != "tpu":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def r3_evaluate(knots, t0, dt, ts):
     """Batched R3 evaluation: knots [N,3], ts [B] -> (p, v, a) each [B,3]."""
     i0, u = index_and_u(ts, t0, dt, knots.shape[0])
     windows = gather_windows(knots, i0)
+    if _use_eval_kernel():
+        from ..ops.linearize_kernels import evaluate_windows
+
+        return evaluate_windows("r3", windows, u, dt)
     B, dB, d2B = basis_vectors(u, dt, cumulative=False)
     p = jnp.einsum("bj,bjd->bd", B, windows)
     v = jnp.einsum("bj,bjd->bd", dB, windows)
@@ -210,6 +231,10 @@ def so3_evaluate(knots, t0, dt, ts):
     """Batched SO3 evaluation: knots [N,4], ts [B] -> (q [B,4], omega [B,3])."""
     i0, u = index_and_u(ts, t0, dt, knots.shape[0])
     windows = gather_windows(knots, i0)
+    if _use_eval_kernel():
+        from ..ops.linearize_kernels import evaluate_windows
+
+        return evaluate_windows("so3", windows, u, dt)
     return jax.vmap(so3_window, in_axes=(0, 0, None))(windows, u, dt)
 
 
@@ -218,4 +243,8 @@ def se3_evaluate(knots, t0, dt, ts):
     (p, v, a, q, omega)."""
     i0, u = index_and_u(ts, t0, dt, knots.shape[0])
     windows = gather_windows(knots, i0)
+    if _use_eval_kernel():
+        from ..ops.linearize_kernels import evaluate_windows
+
+        return evaluate_windows("se3", windows, u, dt)
     return jax.vmap(se3_window, in_axes=(0, 0, None))(windows, u, dt)

@@ -8,6 +8,7 @@ on CPU); one small case also runs the actual Pallas kernel in interpreter
 mode to validate the grid/BlockSpec plumbing.
 """
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -127,3 +128,44 @@ def test_fused_cost_matches_residual_path(monkeypatch):
             np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-12,
             err_msg=f"{traj}/{rs}",
         )
+
+
+def test_evaluate_windows_matches_reference():
+    """The component evaluation kernels (r3/so3/se3, value + first/second
+    time derivatives) must match the vmapped window reference path."""
+    from kontiki_tpu.ops.linearize_kernels import evaluate_windows
+    from kontiki_tpu.trajectories import spline_eval as ev
+
+    rng = np.random.default_rng(3)
+    M, dt = 57, 0.13
+    u = jnp.asarray(rng.uniform(0.0, 1.0, M))
+
+    # r3
+    win = jnp.asarray(rng.normal(size=(M, 4, 3)))
+    p, v, a = evaluate_windows("r3", win, u, dt, backend="xla")
+    pr, vr, ar = jax.vmap(ev.r3_window, in_axes=(0, 0, None))(win, u, dt)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pr), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ar), rtol=1e-9, atol=1e-11)
+
+    # so3 (unit-quaternion windows)
+    qs = rng.normal(size=(M, 4, 4))
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    qwin = jnp.asarray(qs)
+    q, w = evaluate_windows("so3", qwin, u, dt, backend="xla")
+    qr, wr = jax.vmap(ev.so3_window, in_axes=(0, 0, None))(qwin, u, dt)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(wr), rtol=1e-8, atol=1e-10)
+
+    # se3 (near-identity-ish windows: unit quats + small translations)
+    qs = rng.normal(size=(M, 4, 4)) * 0.3 + np.array([1.0, 0, 0, 0])
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    t = rng.normal(size=(M, 4, 3))
+    sw = jnp.asarray(np.concatenate([qs, t], axis=-1))
+    p, v, a, q, w = evaluate_windows("se3", sw, u, dt, backend="xla")
+    pr, vr, ar, qr, wr = jax.vmap(ev.se3_window, in_axes=(0, 0, None))(sw, u, dt)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pr), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vr), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ar), rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(qr), rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(wr), rtol=1e-8, atol=1e-10)
