@@ -179,3 +179,43 @@ def load_atan_camera(path):
             _read(f["wc"]),
             float(_read(f["lgamma"])),
         )
+
+
+# ---------------------------------------------------------------------------
+# solver-state checkpointing (beyond the reference: SURVEY §5 prescribes
+# orbax-style snapshots of (params, LM state) for long multi-host runs;
+# the reference has no optimizer-state persistence at all)
+# ---------------------------------------------------------------------------
+
+def save_solver_state(location, state, *, trust_region_radius=None,
+                      iteration=0, group_name="solver_state"):
+    """Checkpoint a solver state pytree (+ LM trust-region state) to HDF5.
+
+    ``state`` is the solver's state dict (knot arrays, sensor params,
+    inverse depths, ...). Resuming a long solve is then
+    ``solve(problem, initial_trust_region_radius=tr, ...)`` from the
+    loaded state written back into the problem."""
+    import numpy as np
+
+    with _create_h5_group(location, group_name) as group:
+        for key, value in state.items():
+            group[key] = np.asarray(value)
+        group.attrs["keys"] = ",".join(state.keys())
+        group.attrs["iteration"] = int(iteration)
+        if trust_region_radius is not None:
+            group.attrs["trust_region_radius"] = float(trust_region_radius)
+
+
+def load_solver_state(location, group_name="solver_state"):
+    """Load a checkpoint: returns (state dict, meta dict)."""
+    import jax.numpy as jnp
+
+    with _open_h5_group(location, group_name) as group:
+        keys = group.attrs["keys"].split(",") if group.attrs["keys"] else []
+        state = {k: jnp.asarray(_read(group[k])) for k in keys}
+        meta = {"iteration": int(group.attrs["iteration"])}
+        if "trust_region_radius" in group.attrs:
+            meta["trust_region_radius"] = float(
+                group.attrs["trust_region_radius"]
+            )
+        return state, meta

@@ -78,7 +78,7 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
     from .kernels import build_parts, problem_runtime, problem_spec
 
     if strategy == "auto":
-        strategy = "schur" if len(problem.landmarks) else "dense"
+        strategy = _resolve_auto(problem)
     spec = problem_spec(problem)
     runtime = problem_runtime(problem)
     x64 = jax.config.jax_enable_x64
@@ -187,8 +187,15 @@ def solve(
     max_trust_region_radius=1e16,
     min_trust_region_radius=1e-32,
     strategy="auto",
+    trace_dir=None,
 ):
-    """Run LM on a compiled problem. Returns (final_state, Summary)."""
+    """Run LM on a compiled problem. Returns (final_state, Summary).
+
+    ``trace_dir`` enables a ``jax.profiler`` trace of the whole solve with
+    per-phase ``TraceAnnotation`` markers (jacobian / linear_solver /
+    residual), the kernel-level analogue of the Ceres per-phase timers the
+    Summary already mirrors (py_ceres.cc:29-43). View with TensorBoard or
+    Perfetto."""
     t_start = time.time()
     summary = Summary()
     summary.num_parameters = problem.num_parameters
@@ -212,6 +219,18 @@ def solve(
     phases = _make_phases(problem, strategy)
     t_jacobian = t_linear = t_residual = 0.0
 
+    import contextlib
+
+    trace_cm = (
+        jax.profiler.trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    )
+
+    def _annot(name):
+        return (
+            jax.profiler.TraceAnnotation(name) if trace_dir
+            else contextlib.nullcontext()
+        )
+
     mu = initial_trust_region_radius
     decrease_factor = 2.0
 
@@ -231,28 +250,32 @@ def solve(
     cost = None
     t_min_start = time.time()
 
+    trace_cm.__enter__()
     for iteration in range(max_iterations):
         it_t0 = time.time()
         lam = 1.0 / mu
 
         # Phase 1: residual + Jacobian evaluation (Ceres jacobian phase).
-        cost_i, lin_out = phases["linearize"](state)
-        cost_i = float(cost_i)  # blocks until the linearization is done
+        with _annot("kontiki/jacobian"):
+            cost_i, lin_out = phases["linearize"](state)
+            cost_i = float(cost_i)  # blocks until the linearization is done
         t_jacobian += time.time() - it_t0
 
         # Phase 2: damped (Schur) linear solve.
         t1 = time.time()
-        delta, pred, grad_max = phases["solve"](lin_out, lam)
-        pred_f = float(pred)
-        grad_max_f = float(grad_max)
-        step_norm = float(jnp.linalg.norm(delta))
+        with _annot("kontiki/linear_solver"):
+            delta, pred, grad_max = phases["solve"](lin_out, lam)
+            pred_f = float(pred)
+            grad_max_f = float(grad_max)
+            step_norm = float(jnp.linalg.norm(delta))
         t_linear += time.time() - t1
 
         # Phase 3: retraction + re-cost (Ceres residual phase).
         t2 = time.time()
-        new_state = phases["retract"](state, delta)
-        new_cost = phases["cost"](new_state)
-        new_cost_f = float(new_cost)
+        with _annot("kontiki/residual"):
+            new_state = phases["retract"](state, delta)
+            new_cost = phases["cost"](new_state)
+            new_cost_f = float(new_cost)
         t_residual += time.time() - t2
         if cost is None:
             cost = cost_i
@@ -336,6 +359,8 @@ def solve(
             termination = TerminationType.Convergence
             message = "Trust region radius below minimum."
             break
+
+    trace_cm.__exit__(None, None, None)
 
     if termination is None:
         termination = TerminationType.NoConvergence

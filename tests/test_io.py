@@ -82,3 +82,56 @@ def test_structure_colors_roundtrip(tmp_path):
     assert new_colors is not None
     for old, new in zip(landmarks, new_landmarks):
         np.testing.assert_allclose(new_colors[new], colors[old])
+
+
+def test_solver_state_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/resume of (state pytree, LM trust-region state): the
+    orbax-style snapshot SURVEY §5 prescribes for long runs."""
+    import jax.numpy as jnp
+
+    from kontiki_tpu import io as kio
+    from kontiki_tpu.solver.lm import solve
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import make_gyro_problem
+
+    prob = make_gyro_problem(duration=2.0, rate=50.0, seed=4)
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    state, summary = solve(problem, max_iterations=3, function_tolerance=0.0)
+    tr = summary.iterations[-1].trust_region_radius
+
+    path = str(tmp_path / "ckpt.h5")
+    kio.save_solver_state(path, state, trust_region_radius=tr, iteration=3)
+    loaded, meta = kio.load_solver_state(path)
+    assert meta["iteration"] == 3
+    assert meta["trust_region_radius"] == tr
+    assert set(loaded) == set(state)
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(state[k]))
+
+    # resume: write the checkpointed state back and continue the solve
+    problem.write_back(loaded)
+    problem2 = Problem(prob["trajectory"], prob["measurements"])
+    state2, summary2 = solve(
+        problem2, max_iterations=10, initial_trust_region_radius=tr,
+        function_tolerance=0.0,
+    )
+    assert summary2.final_cost <= summary.final_cost * (1 + 1e-9)
+
+
+def test_solve_trace_dir(tmp_path):
+    """trace_dir writes a jax.profiler trace of the solve."""
+    import os
+
+    from kontiki_tpu.solver.lm import solve
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import make_gyro_problem
+
+    prob = make_gyro_problem(duration=1.0, rate=30.0, seed=5)
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    td = str(tmp_path / "trace")
+    state, summary = solve(problem, max_iterations=2, trace_dir=td)
+    assert summary.num_successful_steps >= 1
+    found = []
+    for root, _, files in os.walk(td):
+        found += files
+    assert found, "no profiler trace written"
