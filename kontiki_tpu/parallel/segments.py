@@ -74,7 +74,9 @@ def _segment_layout(problem, n_shards):
     nk = ns_list[0]
     W_max = max(max(b.windows) for b in spec.buckets)
     G = W_max
-    h = W_max  # halo knots fetched from the right neighbor (>= W-1)
+    # halo knots fetched from the right neighbor (>= W-1); a single shard
+    # owns every window locally and needs none
+    h = W_max if n_shards > 1 else 0
     n = n_shards
     # segment = multiple of the super-block size, >= halo
     sb_per_shard = max(1, math.ceil(nk / (n * G)))
@@ -233,7 +235,12 @@ def make_segment_sharded_step(problem, mesh):
 
         def local_col_mask():
             # banded-order global mask gathered for this shard's window
-            mb = jnp.zeros((Pk,), mdt).at[perm_j].set(mask_g[: spec.sensor_offset])
+            # padded by the halo width so the last shard's slice (which
+            # reaches h knots past the global end) stays aligned instead of
+            # being clamped left by dynamic_slice
+            mb = jnp.zeros((Pk + h * BD,), mdt).at[perm_j].set(
+                mask_g[: spec.sensor_offset]
+            )
             start = s_idx * seg * BD
             return jax.lax.dynamic_slice(mb, (start,), ((seg + h) * BD,))
 
