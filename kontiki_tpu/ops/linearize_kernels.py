@@ -974,3 +974,241 @@ def evaluate_windows(kind, windows, u, dt, backend="auto"):
     if kind == "so3":
         return out[0:4].T, out[4:7].T
     return out[0:3].T, out[3:6].T, out[6:9].T, out[9:13].T, out[13:16].T
+
+
+# ---------------------------------------------------------------------------
+# fused IMU-row linearization (gyro / accelerometer buckets)
+#
+# body_gyro  = R(q)^T omega_world + gyro_bias     (imu.h:47-52)
+# body_accel = R(q)^T (a_world + g) + accel_bias  (imu.h:55-59)
+# omega/a are time derivatives of the window evaluation, taken as (nested)
+# JVPs through the time-shift input; the outer linearization differentiates
+# through them (second/third-order AD, all VMEM-resident). Supported spline
+# sets: ('so3',) and ('r3','so3') — the IMU-fusion configs. Sensor columns:
+# relative pose never applies to IMUs (reference TODO.md:6), the time-offset
+# column is the time seed, bias columns are analytic (+/- weight I).
+# ---------------------------------------------------------------------------
+
+_GRAVITY_Z = -9.80665
+
+
+def _tile_imu(cfg, ins):
+    """One IMU row tile. Returns (r [3, T], J [3*C, T]) with
+    C = sum(4*td) + 13 in the bucket-layout column order."""
+    kind = cfg["kind"]       # 'gyro' | 'accel'
+    so3_only = cfg["so3_only"]
+    r3_first = cfg.get("r3_first", True)
+    dtype = ins["u_so3"].dtype
+    T = ins["u_so3"].shape[-1]
+    zero = jnp.zeros((T,), dtype)
+    one = jnp.ones((T,), dtype)
+
+    def win_comps(name, D):
+        arr = ins[name]
+        return tuple(tuple(arr[j * D + k] for k in range(D)) for j in range(4))
+
+    ws = win_comps("win_so3", 4)
+    u_so3 = ins["u_so3"][0]
+    dt_so3 = ins["dts_so3"][0]
+    if not so3_only:
+        wr = win_comps("win_r3", 3)
+        u_r3 = ins["u_r3"][0]
+        dt_r3 = ins["dts_r3"][0]
+    nk = 12 if so3_only else 24
+    off_r3 = 0 if r3_first else 12
+    off_so3 = 0 if so3_only else (12 if r3_first else 0)
+
+    def qfun(delta, s):
+        """Orientation at the shifted time (left exp-retracted window)."""
+        kq = []
+        for j in range(4):
+            dw = (delta[off_so3 + 3 * j + 0], delta[off_so3 + 3 * j + 1],
+                  delta[off_so3 + 3 * j + 2])
+            kq.append(_qmul(_so3_exp_quat(dw), ws[j]))
+        u_eff = u_so3 + s / dt_so3
+        B1, B2, B3 = _cumulative_basis(u_eff)
+        Bs = (B1, B2, B3)
+        q = kq[0]
+        for j in (1, 2, 3):
+            rel = _qmul(_qconj(kq[j - 1]), kq[j])
+            w3 = _logq_vec(rel)
+            b = Bs[j - 1]
+            q = _qmul(q, _expq_pure((b * w3[0], b * w3[1], b * w3[2])))
+        return jnp.stack(q)
+
+    if kind == "gyro":
+        def body(delta, s):
+            q, dq = jax.jvp(
+                lambda ss: qfun(delta, ss), (s,), (one,)
+            )
+            qt = (q[0], q[1], q[2], q[3])
+            # omega_world = 2 (dq q^-1).vec, then rotate to body frame
+            wq = _qmul((dq[0], dq[1], dq[2], dq[3]), _qconj(qt))
+            w_world = (2.0 * wq[1], 2.0 * wq[2], 2.0 * wq[3])
+            b = _qrotate(_qconj(qt), w_world)
+            return jnp.stack(b)
+    else:
+        def pfun(delta, s):
+            u_eff = u_r3 + s / dt_r3
+            B = _standard_basis(u_eff)
+            out = []
+            for k in range(3):
+                acc = zero
+                for j in range(4):
+                    acc = acc + B[j] * (wr[j][k] + delta[off_r3 + 3 * j + k])
+                out.append(acc)
+            return jnp.stack(out)
+
+        def body(delta, s):
+            def vel(ss):
+                return jax.jvp(lambda s2: pfun(delta, s2), (ss,), (one,))[1]
+
+            a = jax.jvp(vel, (s,), (one,))[1]
+            q = qfun(delta, s)
+            qt = (q[0], q[1], q[2], q[3])
+            aw = (a[0], a[1], a[2] + _GRAVITY_Z)
+            b = _qrotate(_qconj(qt), aw)
+            return jnp.stack(b)
+
+    zerosK = jnp.zeros((nk, T), dtype)
+    b0, blin = jax.linearize(body, zerosK, zero)
+
+    seeds_d = jnp.concatenate(
+        [jnp.eye(nk, dtype=dtype), jnp.zeros((1, nk), dtype)]
+    )
+    seeds_s = jnp.concatenate(
+        [jnp.zeros((nk,), dtype), jnp.ones((1,), dtype)]
+    )
+
+    def seed(ed, es):
+        return blin(
+            jnp.broadcast_to(ed[:, None], (nk, T)),
+            jnp.broadcast_to(es, (T,)),
+        )
+
+    Jb = jax.vmap(seed)(seeds_d, seeds_s)  # [nk+1, 3, T]
+
+    w = ins["weight"][0]
+    y = ins["y"]
+    bias = ins["bias"]
+    r = jnp.stack([
+        w * (y[k] - b0[k] - bias[k]) for k in range(3)
+    ])
+    # J layout: [window cols (nk) | sensor 13]; dr = -w * db.
+    # Built by stacking static slices: .at[].set with mixed indices and
+    # leading-dim transposes lower to scatter/relayout in Mosaic.
+    Jwin = jnp.stack(
+        [-Jb[:nk, k, :] * w[None, :] for k in range(3)], axis=0
+    )  # [3, nk, T]
+    Jd = -Jb[nk] * w[None, :]                     # [3, T]
+    # sensor block [3, 13, T]: q_ct/p_ct zero (rel pose not applied to
+    # IMUs), col 6 = time offset, bias cols analytic -w I
+    bias_off = 7 if kind == "accel" else 10
+    zero3T = jnp.zeros((3, T), dtype)
+    sen_cols = []
+    for j in range(13):
+        if j == 6:
+            sen_cols.append(Jd)
+        elif bias_off <= j < bias_off + 3:
+            k = j - bias_off
+            sen_cols.append(jnp.stack(
+                [(-w) if kk == k else zero for kk in range(3)]
+            ))
+        else:
+            sen_cols.append(zero3T)
+    J_sen = jnp.stack(sen_cols, axis=1)           # [3, 13, T]
+    J = jnp.concatenate([Jwin, J_sen], axis=1)    # [3, C, T]
+    if "valid" in ins:
+        v = ins["valid"][0]
+        r = r * v[None, :]
+        J = J * v[None, None, :]
+    C = J.shape[1]
+    return r, J.reshape(3 * C, T)
+
+
+def _tile_imu_cost(cfg, ins):
+    r, _ = _tile_imu(cfg, ins)
+    return r
+
+
+def _make_imu_kernel(cfg, names, ks, cost_only):
+    def kernel(*refs):
+        tins = {}
+        for name, k, ref in zip(names, ks, refs[: len(names)]):
+            tins[name] = ref[...]
+        if cost_only:
+            refs[len(names)][...] = _tile_imu_cost(cfg, tins)
+        else:
+            r, J = _tile_imu(cfg, tins)
+            refs[len(names)][...] = r
+            refs[len(names) + 1][...] = J
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg_key", "names", "ks", "C", "cost_only",
+                              "interpret")
+)
+def _imu_call(cfg_key, names, ks, C, cost_only, interpret, *arrays):
+    cfg = dict(cfg_key)
+    M_pad = arrays[0].shape[-1]
+    dtype = arrays[0].dtype
+    in_specs = [
+        pl.BlockSpec((k, TILE), lambda i, _k=k: (0, i), memory_space=pltpu.VMEM)
+        for k in ks
+    ]
+    if cost_only:
+        out_shape = jax.ShapeDtypeStruct((3, M_pad), dtype)
+        out_specs = pl.BlockSpec((3, TILE), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct((3, M_pad), dtype),
+            jax.ShapeDtypeStruct((3 * C, M_pad), dtype),
+        )
+        out_specs = (
+            pl.BlockSpec((3, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C, TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+    return pl.pallas_call(
+        _make_imu_kernel(cfg, names, ks, cost_only),
+        grid=(M_pad // TILE,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*arrays)
+
+
+def imu_rows(cfg, ins, backend="auto", cost_only=False):
+    """Fused gyro/accel row linearization.
+
+    Returns (r [M, 3], J [M, 3, C]) or just r with ``cost_only``."""
+    names = tuple(sorted(ins.keys()))
+    M = ins[names[0]].shape[-1]
+    C = (12 if cfg["so3_only"] else 24) + 13
+    if backend == "xla":
+        if cost_only:
+            return _tile_imu_cost(cfg, ins).T
+        r, J = _tile_imu(cfg, ins)
+        return r.T, J.reshape(3, C, M).transpose(2, 0, 1)
+    M_pad = max(((M + TILE - 1) // TILE) * TILE, TILE)
+    arrays = []
+    ks = []
+    for n in names:
+        a = ins[n]
+        if a.shape[-1] != M_pad:
+            pad_val = 1.0 if n.startswith("dts") else 0.0
+            a = jnp.pad(a, ((0, 0), (0, M_pad - M)), constant_values=pad_val)
+        arrays.append(a)
+        ks.append(a.shape[0])
+    cfg_key = tuple(sorted(cfg.items()))
+    interpret = jax.default_backend() != "tpu"
+    out = _imu_call(cfg_key, names, tuple(ks), C, cost_only, interpret,
+                    *arrays)
+    if cost_only:
+        return out[:, :M].T
+    r, J = out
+    return r[:, :M].T, J[:, :M].reshape(3, C, M).transpose(2, 0, 1)

@@ -728,6 +728,83 @@ def _camera_rows_fused(spec, bspec, runtime, state, data, split_rho):
     return r, J, cols
 
 
+def _fused_imu_enabled(spec, bspec):
+    """Whether the fused IMU kernel covers this bucket: gyro/accel rows
+    over ('so3',) or split ('r3','so3') splines with plain 4-knot windows."""
+    from ..ops import linearize_kernels as lk
+
+    if lk.LINEARIZE == "off":
+        return False
+    if bspec.kind not in ("gyro", "accel"):
+        return False
+    kinds = tuple(sp.kind for sp in spec.splines)
+    if kinds != ("so3",) and sorted(kinds) != ["r3", "so3"]:
+        return False
+    if any(w != 4 for w in bspec.windows):
+        return False
+    if lk.LINEARIZE in ("pallas", "xla"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _imu_rows_fused(spec, bspec, runtime, state, data, cost_only):
+    """Gather + transpose IMU row inputs and run the fused kernel; emits
+    (r, J, cols) / r exactly like the vmapped jacfwd path."""
+    from ..ops import linearize_kernels as lk
+
+    dtype = runtime["mask"].dtype
+    M = data["t"].shape[0]
+    te = data["t"] + state["d"][data["sid"]]
+    kinds = tuple(sp.kind for sp in spec.splines)
+    so3_only = kinds == ("so3",)
+    ins = {}
+    i0s = []
+    for si, sp in enumerate(spec.splines):
+        t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+        s = (te - t0) / dt
+        i0 = jnp.clip(
+            jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32), 0, sp.n - 4
+        )
+        u = s - i0.astype(s.dtype)
+        win = ev.gather_windows(state[sp.kind], i0)
+        i0s.append(i0)
+        sfx = "_" + sp.kind if not so3_only else "_so3"
+        D = win.shape[2]
+        ins[f"win{sfx}"] = win.reshape(M, 4 * D).T
+        ins[f"u{sfx}"] = u[None, :]
+        ins[f"dts{sfx}"] = jnp.broadcast_to(jnp.asarray(dt, dtype), (1, M))
+    ins["y"] = data["y"].T
+    ins["weight"] = data["weight"][None, :]
+    bias_key = "gbias" if bspec.kind == "gyro" else "abias"
+    ins["bias"] = state[bias_key][data["sid"]].T
+    if "valid" in data:
+        ins["valid"] = data["valid"][None, :]
+
+    cfg = dict(
+        kind=bspec.kind,
+        so3_only=bool(so3_only),
+        r3_first=bool(not so3_only and kinds[0] == "r3"),
+    )
+    backend = "xla" if lk.LINEARIZE == "xla" else "auto"
+    if cost_only:
+        return lk.imu_rows(cfg, ins, backend=backend, cost_only=True)
+    r, J = lk.imu_rows(cfg, ins, backend=backend)
+    cols = []
+    for si, sp in enumerate(spec.splines):
+        td = _TANGENT_DIMS[sp.kind]
+        cols.append(
+            sp.tangent_offset
+            + i0s[si][:, None] * td
+            + jnp.arange(4 * td, dtype=jnp.int32)[None, :]
+        )
+    cols.append(
+        spec.sensor_offset
+        + data["sid"][:, None] * SENSOR_TANGENT_DIM
+        + jnp.arange(SENSOR_TANGENT_DIM, dtype=jnp.int32)[None, :]
+    )
+    return r, J, jnp.concatenate(cols, axis=1)
+
+
 def _with_base_times(bspec, state, row):
     """Window base times from the current state's time offsets; windows are
     re-centered every linearization."""
@@ -795,6 +872,10 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac,
                 spec, bspec, runtime, state, data, split_rho
             )
         return _camera_rows_cost_fused(spec, bspec, runtime, state, data)
+    if _fused_imu_enabled(spec, bspec):
+        return _imu_rows_fused(
+            spec, bspec, runtime, state, data, cost_only=not with_jac
+        )
     if with_jac and bspec.staged:
         staged = _make_camera_staged(spec, bspec)
         return jax.vmap(

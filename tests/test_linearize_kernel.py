@@ -169,3 +169,82 @@ def test_evaluate_windows_matches_reference():
     np.testing.assert_allclose(np.asarray(a), np.asarray(ar), rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(q), np.asarray(qr), rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(np.asarray(w), np.asarray(wr), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("maker", ["gyro", "imu"])
+def test_fused_imu_matches_jacfwd(maker, monkeypatch):
+    """The fused IMU kernel must reproduce the vmapped jacfwd path exactly
+    (residuals, Jacobians incl. time-offset and bias columns, column ids),
+    on SO3-only and split R3+SO3 problems with unlocked biases/offsets."""
+    from kontiki_tpu.synthetic import make_gyro_problem, make_imu_problem
+
+    if maker == "gyro":
+        prob = make_gyro_problem(duration=2.0, rate=40.0, seed=9)
+    else:
+        prob = make_imu_problem(duration=2.0, rate=40.0, seed=9)
+    imu = prob["imu"]
+    imu.max_time_offset = 0.01
+    imu.time_offset_locked = False
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    spec = K.problem_spec(problem)
+    runtime = K.problem_runtime(problem)
+    state = problem.state0
+    # give the offset/biases nonzero values so their columns are live
+    state = dict(state)
+    state["d"] = state["d"] + 0.003
+
+    for bi, bspec in enumerate(spec.buckets):
+        if bspec.kind not in ("gyro", "accel"):
+            continue
+        res, flags = K._make_residual(spec, bspec)
+        data = runtime["data"][bi]
+
+        monkeypatch.setattr(lk, "LINEARIZE", "off")
+        r_ref, J_ref, c_ref = K._bucket_terms(
+            spec, bspec, res, flags, runtime, state, data, True
+        )
+        cost_ref = K._bucket_terms(
+            spec, bspec, res, flags, runtime, state, data, False
+        )
+
+        monkeypatch.setattr(lk, "LINEARIZE", "xla")
+        assert K._fused_imu_enabled(spec, bspec)
+        r, J, c = K._bucket_terms(
+            spec, bspec, res, flags, runtime, state, data, True
+        )
+        cost = K._bucket_terms(
+            spec, bspec, res, flags, runtime, state, data, False
+        )
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref),
+                                      err_msg=bspec.kind)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                   rtol=1e-9, atol=1e-12, err_msg=bspec.kind)
+        np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                                   rtol=1e-7, atol=1e-10, err_msg=bspec.kind)
+        np.testing.assert_allclose(np.asarray(cost), np.asarray(cost_ref),
+                                   rtol=1e-9, atol=1e-12, err_msg=bspec.kind)
+
+
+def test_fused_imu_pallas_interpret(monkeypatch):
+    """The actual IMU pallas_call (interpreter off-TPU) matches the XLA
+    component path."""
+    from kontiki_tpu.synthetic import make_imu_problem
+
+    prob = make_imu_problem(duration=1.0, rate=40.0, seed=2)
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    spec = K.problem_spec(problem)
+    runtime = K.problem_runtime(problem)
+    state = problem.state0
+    for bi, bspec in enumerate(spec.buckets):
+        if bspec.kind not in ("gyro", "accel"):
+            continue
+        data = runtime["data"][bi]
+        monkeypatch.setattr(lk, "LINEARIZE", "xla")
+        r_x, J_x, c_x = K._imu_rows_fused(spec, bspec, runtime, state, data, False)
+        monkeypatch.setattr(lk, "LINEARIZE", "pallas")
+        r_p, J_p, c_p = K._imu_rows_fused(spec, bspec, runtime, state, data, False)
+        np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
+        np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_x),
+                                   rtol=1e-9, atol=1e-12, err_msg=bspec.kind)
+        np.testing.assert_allclose(np.asarray(J_p), np.asarray(J_x),
+                                   rtol=1e-8, atol=1e-11, err_msg=bspec.kind)
