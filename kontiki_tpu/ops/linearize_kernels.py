@@ -40,7 +40,10 @@ compressed Jacobian ``J [M, rdim, C]`` over [ref window (24) | obs window
 Supported: rs_static / rs_lifting buckets, pinhole + atan cameras, spline
 sets ("se3",) and ("r3", "so3") — configs 3–5. rs_newton keeps the XLA
 path (its bounded inner Newton solve does not factor through the (p, q)
-bottleneck).
+bottleneck). The same component machinery also provides: a cost-only
+primal kernel, fused gyro/accelerometer row linearization (configs 1–2),
+batched trajectory-evaluation kernels (``evaluate_windows``), and the
+one-hot row expansion feeding the banded assembly.
 """
 import functools
 import os
@@ -56,6 +59,8 @@ TILE = 128
 #: 'auto' (Pallas on TPU, XLA component path elsewhere), 'pallas' (force,
 #: interpret off-TPU), 'xla' (the same math as one XLA program — used for
 #: equivalence testing), 'off' (keep the vmapped jacfwd staged path).
+#: Process-start-only: solver programs read this at trace time and traces
+#: are cached — tests that monkeypatch it always build fresh programs.
 LINEARIZE = os.environ.get("KONTIKI_LINEARIZE", "auto")
 
 _EPS = 1e-16      # quaternion log/exp Taylor guard (math.quaternion.EPS)
