@@ -197,11 +197,20 @@ def save_solver_state(location, state, *, trust_region_radius=None,
     loaded state written back into the problem."""
     import numpy as np
 
+    import jax
+
     with _create_h5_group(location, group_name) as group:
         for key, value in state.items():
+            if isinstance(value, jax.Array) and not value.is_fully_addressable:
+                # globally-sharded array in a multi-process job: gather the
+                # full value to every host before materializing on host 0
+                from jax.experimental import multihost_utils
+
+                value = multihost_utils.process_allgather(value, tiled=True)
             group[key] = np.asarray(value)
         group.attrs["keys"] = ",".join(state.keys())
         group.attrs["iteration"] = int(iteration)
+        group.attrs["format_version"] = 1
         if trust_region_radius is not None:
             group.attrs["trust_region_radius"] = float(trust_region_radius)
 

@@ -696,7 +696,10 @@ def linearize_rows(cfg, ins, backend="auto"):
     for n in names:
         a = ins[n]
         if a.shape[-1] != M_pad:
-            a = jnp.pad(a, ((0, 0), (0, M_pad - M)))
+            # divisor-like inputs pad with 1.0 so padded lanes stay finite
+            # (0/0 NaNs would poison any future cross-lane reduction)
+            pad_val = 1.0 if n.startswith("dts") or n == "rows" else 0.0
+            a = jnp.pad(a, ((0, 0), (0, M_pad - M)), constant_values=pad_val)
         arrays.append(a)
         ks.append(a.shape[0])
     cfg_key = tuple(sorted(cfg.items()))
@@ -819,7 +822,8 @@ def cost_rows(cfg, ins, backend="auto"):
     for n in names:
         a = ins[n]
         if a.shape[-1] != M_pad:
-            a = jnp.pad(a, ((0, 0), (0, M_pad - M)))
+            pad_val = 1.0 if n.startswith("dts") or n == "rows" else 0.0
+            a = jnp.pad(a, ((0, 0), (0, M_pad - M)), constant_values=pad_val)
         arrays.append(a)
         ks.append(a.shape[0])
     cfg_key = tuple(sorted(cfg.items()))

@@ -43,14 +43,27 @@ def initialize():
     # A bootstrap may have wired the job before importing this package
     # (jax.distributed.initialize must precede the first backend touch, and
     # importing kontiki_tpu builds jnp constants): detect and adopt it.
+    # Prefer the public API; fall back to the private client handle on
+    # older JAX, and warn if neither detection path works.
     try:
-        from jax._src.distributed import global_state as _gs
+        already = jax.distributed.is_initialized()
+    except AttributeError:
+        try:
+            from jax._src.distributed import global_state as _gs
 
-        if _gs.client is not None:
-            _initialized = True
-            return is_multiprocess()
-    except Exception:
-        pass
+            already = _gs.client is not None
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                "kontiki_tpu.parallel.distributed: cannot detect whether "
+                "jax.distributed is already initialized on this JAX "
+                "version; proceeding as if it is not"
+            )
+            already = False
+    if already:
+        _initialized = True
+        return is_multiprocess()
     if os.environ.get("KONTIKI_DISTRIBUTED", "0") not in ("1", "true"):
         _initialized = True
         return False

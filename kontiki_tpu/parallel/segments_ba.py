@@ -96,10 +96,12 @@ def segment_ba_layout(problem, n_shards):
 
     # --- row ownership + halo sizing (host-side, offsets locked) ---------
     i_refs = []
+    i_obs_list = []
     max_dpos = 0  # obs window right of ref window (knots)
     max_dneg = 0
     for bspec, data in zip(spec.buckets, runtime["data"]):
         d = {k: np.asarray(v) for k, v in data.items()}
+        i_obs = None
         if bspec.kind.startswith("rs_"):
             dd = d0[d["sid"]]
             t_ref = d["t0_ref"] + dd + d["v_ref"] * d["readout"] / d["rows"]
@@ -114,14 +116,40 @@ def segment_ba_layout(problem, n_shards):
             t = d["t"] + (d0[d["sid"]] if "sid" in d else 0.0)
             i_ref = np.clip(((t - t0) / dt).astype(np.int64), 0, nk - 4)
         i_refs.append(i_ref)
+        i_obs_list.append(i_obs)
 
-    # Pair-block size for the banded reduced system: any single row's (and,
-    # because all of a landmark's rows share its reference window, any
-    # single landmark's) column support spans at most
-    # max_dneg + max_dpos + W_max consecutive knots, so with G = that span
-    # every row/landmark touches at most TWO consecutive G-blocks and the
-    # reduced system is block-tridiagonal in G-superblocks.
+    # Per-landmark knot-column support [lm_lo, lm_hi + W_max): i_ref varies
+    # across a landmark's rows when the rolling-shutter readout spans
+    # multiple knot intervals (v_ref*readout/rows shifts the reference
+    # window), so the per-row bound max_dpos+max_dneg can undercount the
+    # per-landmark span. All of a landmark's rows are anchored at its
+    # block, so G must fit the *landmark* support in two superblocks.
+    L = spec.num_landmarks
+    lm_lo = np.full(max(L, 1), 10**9, dtype=np.int64)
+    lm_hi = np.full(max(L, 1), -1, dtype=np.int64)
+    for bspec, data, i_ref, i_obs in zip(
+        spec.buckets, runtime["data"], i_refs, i_obs_list
+    ):
+        if not bspec.kind.startswith("rs_"):
+            continue
+        lid = np.asarray(data["lid"])
+        np.minimum.at(lm_lo, lid, np.minimum(i_ref, i_obs))
+        np.maximum.at(lm_hi, lid, np.maximum(i_ref, i_obs))
+
+    # Pair-block size for the banded reduced system: with G >= any single
+    # row's / landmark's column span, every row/landmark touches at most
+    # TWO consecutive G-blocks and the reduced system is block-tridiagonal
+    # in G-superblocks.
     G = max(max_dpos + max_dneg + W_max, 2)
+    seen_lm = lm_hi >= 0
+    if seen_lm.any():
+        # span <= G + 1 guarantees the two-superblock property for any
+        # anchor offset; widen G by the observed per-landmark ref spread
+        span = lm_hi[seen_lm] - lm_lo[seen_lm] + W_max
+        G = max(G, int(span.max()))
+        assert (
+            lm_hi[seen_lm] + W_max - 1 - (lm_lo[seen_lm] // G) * G < 2 * G
+        ).all(), "landmark column support exceeds two G-superblocks"
     if n == 1:
         Hl = Hr = 0
         # one extra pad block so the (anchor, anchor+1) pair always exists
@@ -137,7 +165,6 @@ def segment_ba_layout(problem, n_shards):
     owners = [np.minimum(i_ref // seg, n - 1) for i_ref in i_refs]
 
     # --- landmark blocks: owner = owner of the landmark's rows ----------
-    L = spec.num_landmarks
     lm_owner = np.zeros(L, dtype=np.int64)
     seen = np.zeros(L, dtype=bool)
     for bspec, data, owner in zip(spec.buckets, runtime["data"], owners):
@@ -164,17 +191,9 @@ def segment_ba_layout(problem, n_shards):
     hl_b, hr_b = Hl // G, Hr // G
     nbloc = hl_b + sbG + hr_b
 
-    # per-landmark minimum window knot (all rows of a landmark are co-owned)
-    lm_imin = np.full(max(L, 1), 10**9, dtype=np.int64)
-    for bspec, data, i_ref in zip(spec.buckets, runtime["data"], i_refs):
-        if not bspec.kind.startswith("rs_"):
-            continue
-        d = {k: np.asarray(v) for k, v in data.items()}
-        dd = d0[d["sid"]]
-        t_obs = d["t0_obs"] + dd + d["v_obs"] * d["readout"] / d["rows"]
-        i_obs = np.clip(((t_obs - t0) / dt).astype(np.int64), 0, nk - 4)
-        i_min = np.minimum(i_ref, i_obs)
-        np.minimum.at(lm_imin, d["lid"], i_min)
+    # per-landmark minimum window knot (all rows of a landmark are co-owned;
+    # computed above for the G-sizing check)
+    lm_imin = lm_lo
 
     # landmark anchor block (local ids) + per-(shard, anchor) slot layout
     la_of_lm = np.zeros(max(L, 1), dtype=np.int64)

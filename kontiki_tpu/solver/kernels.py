@@ -41,6 +41,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 #: Jacobian mode: 'fwd' (default; ceres::Jet-equivalent batched JVPs — wide
 #: tangent batches vectorize better on TPU than vmapped VJP transposes,
@@ -1115,6 +1116,28 @@ def problem_runtime(problem):
         "spline_dt": [jnp.asarray(sp.dt, problem.mask.dtype) for sp in problem.splines],
         "data": [dict(b.data) for b in problem.buckets.values()],
     }
+
+
+def bucket_residuals(problem, state=None):
+    """Per-bucket residual vectors through the solver's batched kernels.
+
+    Returns ``{bucket_key: r [M, rdim]}`` (weights applied, robust loss
+    NOT applied — the raw residual the object API's ``measurement.error``
+    is the oracle for, measurement_helper.h:13-27). Debug/parity surface:
+    lets tests pin ``initial_cost == 0.5 * sum huber(|r|^2)`` per bucket
+    against object-level evaluation."""
+    spec = problem_spec(problem)
+    runtime = problem_runtime(problem)
+    if state is None:
+        state = problem.state0
+    out = {}
+    for key, bspec, data in zip(
+        problem.buckets.keys(), spec.buckets, runtime["data"]
+    ):
+        res, flags = _make_residual(spec, bspec)
+        r = _bucket_terms(spec, bspec, res, flags, runtime, state, data, False)
+        out[key] = np.asarray(r)
+    return out
 
 
 def make_functions(problem):

@@ -251,116 +251,119 @@ def solve(
     t_min_start = time.time()
 
     trace_cm.__enter__()
-    for iteration in range(max_iterations):
-        it_t0 = time.time()
-        lam = 1.0 / mu
+    try:
+        for iteration in range(max_iterations):
+            it_t0 = time.time()
+            lam = 1.0 / mu
 
-        # Phase 1: residual + Jacobian evaluation (Ceres jacobian phase).
-        with _annot("kontiki/jacobian"):
-            cost_i, lin_out = phases["linearize"](state)
-            cost_i = float(cost_i)  # blocks until the linearization is done
-        t_jacobian += time.time() - it_t0
+            # Phase 1: residual + Jacobian evaluation (Ceres jacobian phase).
+            with _annot("kontiki/jacobian"):
+                cost_i, lin_out = phases["linearize"](state)
+                cost_i = float(cost_i)  # blocks until the linearization is done
+            t_jacobian += time.time() - it_t0
 
-        # Phase 2: damped (Schur) linear solve.
-        t1 = time.time()
-        with _annot("kontiki/linear_solver"):
-            delta, pred, grad_max = phases["solve"](lin_out, lam)
-            pred_f = float(pred)
-            grad_max_f = float(grad_max)
-            step_norm = float(jnp.linalg.norm(delta))
-        t_linear += time.time() - t1
+            # Phase 2: damped (Schur) linear solve.
+            t1 = time.time()
+            with _annot("kontiki/linear_solver"):
+                delta, pred, grad_max = phases["solve"](lin_out, lam)
+                pred_f = float(pred)
+                grad_max_f = float(grad_max)
+                step_norm = float(jnp.linalg.norm(delta))
+            t_linear += time.time() - t1
 
-        # Phase 3: retraction + re-cost (Ceres residual phase).
-        t2 = time.time()
-        with _annot("kontiki/residual"):
-            new_state = phases["retract"](state, delta)
-            new_cost = phases["cost"](new_state)
-            new_cost_f = float(new_cost)
-        t_residual += time.time() - t2
-        if cost is None:
-            cost = cost_i
-            summary.initial_cost = cost_i
-            it0 = IterationSummary(
-                iteration=0,
-                cost=cost_i,
-                cost_change=0.0,
+            # Phase 3: retraction + re-cost (Ceres residual phase).
+            t2 = time.time()
+            with _annot("kontiki/residual"):
+                new_state = phases["retract"](state, delta)
+                new_cost = phases["cost"](new_state)
+                new_cost_f = float(new_cost)
+            t_residual += time.time() - t2
+            if cost is None:
+                cost = cost_i
+                summary.initial_cost = cost_i
+                it0 = IterationSummary(
+                    iteration=0,
+                    cost=cost_i,
+                    cost_change=0.0,
+                    gradient_max_norm=grad_max_f,
+                    trust_region_radius=mu,
+                    iteration_time_in_seconds=0.0,
+                    cumulative_time_in_seconds=time.time() - t_start,
+                )
+                summary.iterations.append(it0)
+                term = run_callbacks(it0)
+                if term is not None:
+                    termination = term
+                    message = "Terminated by user callback."
+                    break
+
+            relative_decrease = (cost_i - new_cost_f) / pred_f if pred_f > 0 else -1.0
+            step_successful = (
+                np.isfinite(new_cost_f) and relative_decrease > min_relative_decrease
+            )
+
+            if step_successful:
+                cost_change = cost_i - new_cost_f
+                state = new_state
+                mu = mu / max(1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3)
+                mu = min(mu, max_trust_region_radius)
+                decrease_factor = 2.0
+                summary.num_successful_steps += 1
+                cost = new_cost_f
+            else:
+                cost_change = 0.0
+                mu = mu / decrease_factor
+                decrease_factor *= 2.0
+                summary.num_unsuccessful_steps += 1
+
+            it_summary = IterationSummary(
+                iteration=iteration + 1,
+                step_is_valid=bool(np.isfinite(new_cost_f)),
+                step_is_successful=step_successful,
+                cost=cost,
+                cost_change=cost_change,
                 gradient_max_norm=grad_max_f,
+                step_norm=step_norm,
+                relative_decrease=relative_decrease,
                 trust_region_radius=mu,
-                iteration_time_in_seconds=0.0,
+                iteration_time_in_seconds=time.time() - it_t0,
                 cumulative_time_in_seconds=time.time() - t_start,
             )
-            summary.iterations.append(it0)
-            term = run_callbacks(it0)
+            summary.iterations.append(it_summary)
+
+            if progress:
+                print(
+                    f"iter {iteration + 1:3d}  cost {cost:.6e}  "
+                    f"change {cost_change:.3e}  |g| {grad_max_f:.3e}  "
+                    f"tr {mu:.1e}  {'ok' if step_successful else 'reject'}"
+                )
+
+            term = run_callbacks(it_summary)
             if term is not None:
                 termination = term
                 message = "Terminated by user callback."
                 break
 
-        relative_decrease = (cost_i - new_cost_f) / pred_f if pred_f > 0 else -1.0
-        step_successful = (
-            np.isfinite(new_cost_f) and relative_decrease > min_relative_decrease
-        )
-
-        if step_successful:
-            cost_change = cost_i - new_cost_f
-            state = new_state
-            mu = mu / max(1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3)
-            mu = min(mu, max_trust_region_radius)
-            decrease_factor = 2.0
-            summary.num_successful_steps += 1
-            cost = new_cost_f
-        else:
-            cost_change = 0.0
-            mu = mu / decrease_factor
-            decrease_factor *= 2.0
-            summary.num_unsuccessful_steps += 1
-
-        it_summary = IterationSummary(
-            iteration=iteration + 1,
-            step_is_valid=bool(np.isfinite(new_cost_f)),
-            step_is_successful=step_successful,
-            cost=cost,
-            cost_change=cost_change,
-            gradient_max_norm=grad_max_f,
-            step_norm=step_norm,
-            relative_decrease=relative_decrease,
-            trust_region_radius=mu,
-            iteration_time_in_seconds=time.time() - it_t0,
-            cumulative_time_in_seconds=time.time() - t_start,
-        )
-        summary.iterations.append(it_summary)
-
-        if progress:
-            print(
-                f"iter {iteration + 1:3d}  cost {cost:.6e}  "
-                f"change {cost_change:.3e}  |g| {grad_max_f:.3e}  "
-                f"tr {mu:.1e}  {'ok' if step_successful else 'reject'}"
-            )
-
-        term = run_callbacks(it_summary)
-        if term is not None:
-            termination = term
-            message = "Terminated by user callback."
-            break
-
-        if step_successful:
-            if abs(cost_change) <= function_tolerance * cost_i:
+            if step_successful:
+                if abs(cost_change) <= function_tolerance * cost_i:
+                    termination = TerminationType.Convergence
+                    message = (
+                        f"Function tolerance reached: |dc| = {abs(cost_change):.3e} "
+                        f"<= {function_tolerance} * {cost_i:.3e}"
+                    )
+                    break
+                if grad_max_f <= gradient_tolerance:
+                    termination = TerminationType.Convergence
+                    message = f"Gradient tolerance reached: {grad_max_f:.3e}"
+                    break
+            if mu < min_trust_region_radius:
                 termination = TerminationType.Convergence
-                message = (
-                    f"Function tolerance reached: |dc| = {abs(cost_change):.3e} "
-                    f"<= {function_tolerance} * {cost_i:.3e}"
-                )
+                message = "Trust region radius below minimum."
                 break
-            if grad_max_f <= gradient_tolerance:
-                termination = TerminationType.Convergence
-                message = f"Gradient tolerance reached: {grad_max_f:.3e}"
-                break
-        if mu < min_trust_region_radius:
-            termination = TerminationType.Convergence
-            message = "Trust region radius below minimum."
-            break
-
-    trace_cm.__exit__(None, None, None)
+    finally:
+        # always finalize the profiler trace, even if a user callback or
+        # compile error raises mid-solve (ADVICE r3)
+        trace_cm.__exit__(None, None, None)
 
     if termination is None:
         termination = TerminationType.NoConvergence
