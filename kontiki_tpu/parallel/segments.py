@@ -376,9 +376,14 @@ def make_segment_sharded_step(problem, mesh):
             arr = state[sp.kind]
             pad = nk_pad - arr.shape[0]
             if pad:
-                out[sp.kind] = jnp.concatenate(
-                    [arr, jnp.repeat(arr[-1:], pad, axis=0)], axis=0
+                # pin the tiny pad block replicated: otherwise the sharded
+                # concat output propagates a rows-sharded spec back onto the
+                # [pad, D] broadcast and SPMD involuntarily rematerializes
+                pad_arr = jax.lax.with_sharding_constraint(
+                    jnp.repeat(arr[-1:], pad, axis=0),
+                    NamedSharding(mesh, P()),
                 )
+                out[sp.kind] = jnp.concatenate([arr, pad_arr], axis=0)
         return out
 
     def _unpad_knots(state):

@@ -1099,9 +1099,14 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             arr = state[sp.kind]
             pad = nk_pad - arr.shape[0]
             if pad:
-                st[sp.kind] = jnp.concatenate(
-                    [arr, jnp.repeat(arr[-1:], pad, axis=0)], axis=0
+                # replicated pad block: stops the rows-sharded concat spec
+                # propagating onto the [pad, D] broadcast (SPMD would
+                # involuntarily rematerialize the reshape otherwise)
+                pad_arr = jax.lax.with_sharding_constraint(
+                    jnp.repeat(arr[-1:], pad, axis=0),
+                    NamedSharding(mesh, P()),
                 )
+                st[sp.kind] = jnp.concatenate([arr, pad_arr], axis=0)
         rho_p = jnp.zeros((n * Lb,), state["rho"].dtype)
         if L:
             rho_p = rho_p.at[lid_to_padded].set(state["rho"])
