@@ -196,8 +196,8 @@ def make_sharded_schur_functions(problem, mesh):
     # landmark-sharded global arrays and GSPMD turns E^T(E/D) into
     # per-device partials + an all-reduce of the [Pc, Pc] correction.
     solve_fn = jax.jit(
-        lambda H_cc, g_c, E, D, g_l, lam: parts_global["schur_solve"](
-            runtime, H_cc, g_c, E, D, g_l, lam
+        lambda H_cc, g_c, E, D, g_l, lam, st=None: parts_global["schur_solve"](
+            runtime, H_cc, g_c, E, D, g_l, lam, state=st
         )
     )
     retract_fn = jax.jit(lambda st, delta: parts_global["retract"](runtime, st, delta))
@@ -218,11 +218,14 @@ def make_sharded_schur_step(problem, mesh):
     def step(state, lam):
         st = _pad_state(state, layout)
         cost, H_cc, g_c, E, D, g_l = lin_fn(st)
-        delta = solve_fn(H_cc, g_c, E, D, g_l, lam)
+        delta = solve_fn(H_cc, g_c, E, D, g_l, lam, st)
+        # project the landmark step to the bounded retraction's increment
+        # before pred (rho >= 0; see kernels.project_delta)
+        dl = jnp.maximum(st["rho"] + delta[lo:lo + L_pad], 0.0) - st["rho"]
+        delta = delta.at[lo:lo + L_pad].set(dl)
         new_state = retract_fn(st, delta)
         new_cost = cost_fn(new_state)
         dc = jnp.concatenate([delta[:lo], delta[lo + L_pad:]])
-        dl = delta[lo:lo + L_pad]
         gTd = g_c @ dc + g_l @ dl
         dHd = dc @ (H_cc @ dc) + 2.0 * dl @ (E @ dc) + dl @ (D * dl)
         pred = -(gTd + 0.5 * dHd)
@@ -256,12 +259,15 @@ def make_sharded_schur_solver(problem, mesh, max_iterations=50,
 
     def one_step(state, lam):
         cost, H_cc, g_c, E, D, g_l = lin_fn(state)
-        delta = solve_fn(H_cc, g_c, E, D, g_l, lam)
+        delta = solve_fn(H_cc, g_c, E, D, g_l, lam, state)
+        lo, L_pad = layout["lo"], layout["L_pad"]
+        dl = jnp.maximum(
+            state["rho"] + delta[lo:lo + L_pad], 0.0
+        ) - state["rho"]
+        delta = delta.at[lo:lo + L_pad].set(dl)
         new_state = retract_fn(state, delta)
         new_cost = cost_fn(new_state)
-        lo, L_pad = layout["lo"], layout["L_pad"]
         dc = jnp.concatenate([delta[:lo], delta[lo + L_pad:]])
-        dl = delta[lo:lo + L_pad]
         pred = -(
             g_c @ dc + g_l @ dl
             + 0.5 * (dc @ (H_cc @ dc) + 2.0 * dl @ (E @ dc) + dl @ (D * dl))

@@ -595,9 +595,9 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
 
     # ---- matvecs ---------------------------------------------------------
 
-    def _rows_matvec(blocks, x_own, x_sen, w_l=None, D_d=None):
-        """y = A_cc x  (minus E^T D^-1 E x when D_d given): the Schur-
-        complement matvec on compressed rows with halo exchange."""
+    def _rows_matvec(blocks, x_own, x_sen, w_l=None, D_d=None, free=None):
+        """y = A_cc x  (minus E^T diag(free/D_d) E x when D_d given): the
+        Schur-complement matvec on compressed rows with halo exchange."""
         x_loc = _halo_fill(x_own)
         x_cat = jnp.concatenate([x_loc, x_sen])
         y_cat = jnp.zeros_like(x_cat)
@@ -609,6 +609,8 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             if D_d is not None and "J_rho" in blk:
                 Ex = Ex.at[blk["lid"]].add(jnp.sum(blk["J_rho"] * t, axis=1))
         if D_d is not None:
+            if free is not None:
+                Ex = Ex * free
             w = Ex / D_d
         for blk, t in zip(blocks, ts):
             if D_d is not None and "J_rho" in blk:
@@ -673,21 +675,27 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
 
     # ---- damped PCG solve + LM step --------------------------------------
 
-    def _solve(blocks, lin, lam):
+    def _solve(blocks, lin, lam, state):
         (cost, _, g_own, g_sen, diag_own, diag_sen, D, g_l,
          kblocks, sblocks) = lin
+        from ..solver.kernels import landmark_free_mask
+
         mask_own = _own_mask()
-        mask_l = _own_mask_l()
+        # bound active set: freeze rho=0 landmarks with outward gradient
+        # for this step (kernels.landmark_free_mask)
+        mask_l = landmark_free_mask(state["rho"], g_l, _own_mask_l())
         diag_dk = lam * jnp.clip(diag_own, 1e-6, 1e32) + (1.0 - mask_own)
         diag_ds = lam * jnp.clip(diag_sen, 1e-6, 1e32) + (1.0 - lay["mask_sen"])
         D_d = D + lam * jnp.clip(D, 1e-6, 1e32) + (1.0 - mask_l)
 
-        rhs_own, rhs_sen = _et_matvec(blocks, g_l / D_d)
+        rhs_own, rhs_sen = _et_matvec(blocks, mask_l * g_l / D_d)
         rhs = (rhs_own - g_own, rhs_sen - g_sen)
 
         def matvec(x):
             x_own, x_sen = x
-            y_own, y_sen = _rows_matvec(blocks, x_own, x_sen, D_d=D_d)
+            y_own, y_sen = _rows_matvec(
+                blocks, x_own, x_sen, D_d=D_d, free=mask_l
+            )
             return (y_own + diag_dk * x_own, y_sen + diag_ds * x_sen)
 
         def precond(r):
@@ -720,6 +728,9 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         (dc, _, _, _, _, k) = jax.lax.while_loop(cond, body, carry)
         dc = (dc[0] * mask_own, dc[1] * lay["mask_sen"])
         dl = -(g_l + _e_matvec(blocks, *dc)) / D_d * mask_l
+        # project to the bounded retraction's increment (rho >= 0) so pred
+        # reflects the step actually taken (see kernels.project_delta)
+        dl = jnp.maximum(state["rho"] + dl, 0.0) - state["rho"]
 
         # pred + grad_max (landmark dots are over local blocks -> psum)
         lm_dot = jax.lax.psum(jnp.dot(g_l, dl), MEASUREMENT_AXIS)
@@ -844,7 +855,7 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             core = core.at[:hr_b].add(from_left)
         return core
 
-    def _banded_solve(rt, blocks, mask_l, lam):
+    def _banded_solve(rt, blocks, mask_l, lam, state):
         """Assemble the damped reduced band and solve it exactly.
 
         Returns ((dc_own_ps, dc_sen), dl, pred, gmax) — the same contract
@@ -904,13 +915,21 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             jnp.sum(ga[:, 2 * GBD:], axis=0), MEASUREMENT_AXIS
         )
 
-        # landmark elimination in slot space (damp-then-eliminate)
+        # landmark elimination in slot space (damp-then-eliminate);
+        # bound active set: freeze rho=0 slots with outward gradient
         smask = bt["smask"][0]
         lid_slot = bt["lid_of_slot"][0]
         smask_a = smask.reshape(nbloc, LaMax)
-        mask_l_slots = mask_l[lid_slot].reshape(nbloc, LaMax) * smask_a
+        rho_slots = state["rho"][lid_slot].reshape(nbloc, LaMax)
+        free_slots = 1.0 - (
+            (rho_slots <= 0.0) & (gla > 0.0)
+        ).astype(dtype)
+        mask_l_slots = (
+            mask_l[lid_slot].reshape(nbloc, LaMax) * smask_a * free_slots
+        )
         D_d_slots = Da + lam * jnp.clip(Da, 1e-6, 1e32) + (1.0 - mask_l_slots)
-        w_slots = smask_a / D_d_slots
+        w_slots = smask_a * free_slots / D_d_slots
+        Pa_raw = Pa  # pre-elimination pair blocks, reused for pred below
         Pa = Pa - jnp.einsum("alw,al,alv->awv", Ea, w_slots, Ea)
         ga = ga - jnp.einsum("alw,al,al->aw", Ea, w_slots, gla)
 
@@ -986,8 +1005,15 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         dl = jnp.zeros((Lb,), dtype).at[lid_slot].add(
             jnp.where(smask > 0, dl_slots.reshape(-1), 0.0)
         )
+        # projected landmark step (rho >= 0) for an honest pred
+        dl = jnp.maximum(state["rho"] + dl, 0.0) - state["rho"]
 
-        # pred/gmax exactly as the PCG path (shared matvec machinery)
+        # pred/gmax from the assembled pair blocks: H = sum_a S_a^T Pa_a S_a
+        # with S_a dc = dcw_a, so dc^T H dc = sum_a dcw_a^T Pa_raw_a dcw_a
+        # (each row lives in exactly one anchor on one shard, so the psum
+        # counts every row once) and E dc comes from the slot-space Ea —
+        # the row-space matvecs this replaces were the step's single
+        # largest cost (a [M, C]-gather fusion, ~230 ms at config-5 scale)
         D_lb = jnp.zeros((Lb,), dtype).at[lid_slot].add(
             jnp.where(smask > 0, Da.reshape(-1), 0.0)
         )
@@ -997,11 +1023,14 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         g_own_ps = g_own_band_raw[band_of_ps_own]
         lm_dot = jax.lax.psum(jnp.dot(gl_lb, dl), MEASUREMENT_AXIS)
         gTd = _pdot((g_own_ps, g_sen_raw), dc) + lm_dot
-        H_own, H_sen = _rows_matvec(blocks, dc[0], dc[1])
-        dHd = _pdot(dc, (H_own, H_sen))
-        Edc = _e_matvec(blocks, *dc)
+        dHd = jax.lax.psum(
+            jnp.einsum("aw,awv,av->", dcw, Pa_raw, dcw), MEASUREMENT_AXIS
+        )
+        Edc_lb = jnp.zeros((Lb,), dtype).at[lid_slot].add(
+            jnp.where(smask > 0, Edc_slots.reshape(-1), 0.0)
+        )
         dHd = dHd + jax.lax.psum(
-            2.0 * jnp.dot(dl, Edc) + jnp.dot(dl, D_lb * dl), MEASUREMENT_AXIS
+            2.0 * jnp.dot(dl, Edc_lb) + jnp.dot(dl, D_lb * dl), MEASUREMENT_AXIS
         )
         pred = -(gTd + 0.5 * dHd)
         gmax_own = jax.lax.pmax(jnp.max(jnp.abs(g_own_ps)), MEASUREMENT_AXIS)
@@ -1049,14 +1078,14 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
     def _step_local_pcg(rt, state, lam):
         lin = _linearize_local(rt, state)
         cost, blocks = lin[0], lin[1]
-        dc, dl, pred, gmax = _solve(blocks, lin, lam)
+        dc, dl, pred, gmax = _solve(blocks, lin, lam, state)
         new_state = _retract_local(state, dc, dl)
         new_cost = _cost_local(rt, new_state)
         return cost, new_state, new_cost, pred, (dc, dl), gmax
 
     def _step_local_banded(rt, state, lam):
         cost, blocks, mask_l = _whitened_blocks(rt, state)
-        dc, dl, pred, gmax = _banded_solve(rt, blocks, mask_l, lam)
+        dc, dl, pred, gmax = _banded_solve(rt, blocks, mask_l, lam, state)
         new_state = _retract_local(state, dc, dl)
         new_cost = _cost_local(rt, new_state)
         return cost, new_state, new_cost, pred, (dc, dl), gmax

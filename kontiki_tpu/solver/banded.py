@@ -28,6 +28,7 @@ Requires all splines on the same knot grid (equal n; our Split problems
 always are). Strategy name: ``"banded"`` in ``lm.solve``.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ import numpy as np
 
 from .iterative import _bucket_layout, build_iterative_parts
 from .kernels import (
+    project_delta,
     SENSOR_TANGENT_DIM,
     _TANGENT_DIMS,
     _make_residual,
@@ -47,17 +49,33 @@ from .kernels import (
 # block-tridiagonal Cholesky
 # ---------------------------------------------------------------------------
 
-def block_tridiag_solve(D, U, rhs):
+def block_tridiag_solve(D, U, rhs, method="auto"):
     """Solve the symmetric block-tridiagonal system T x = rhs.
 
     D [nb, d, d]: diagonal blocks; U [nb, d, d]: super-diagonal blocks
     (U[k] = T[k, k+1]; U[nb-1] is ignored); rhs [nb, d, R].
+
+    ``method``: "scan" = sequential block Cholesky (two lax.scans — exact
+    and cheapest in flops, but nb dependent steps); "pcr" = parallel
+    cyclic reduction (log2(nb) batched levels — the TPU-native choice at
+    scale, where the scan is pure per-step latency); "auto" picks pcr on
+    TPU for nb >= 32, scan otherwise.
 
     Block Cholesky T = L L^T with L_kk = C_k, L_{k+1,k} = B_k:
         C_0 C_0^T = D_0;  B_k = (C_k^{-1} U_k)^T;
         C_{k+1} C_{k+1}^T = D_{k+1} - B_k B_k^T.
     Forward then backward substitution, each as one lax.scan."""
     from jax.scipy.linalg import solve_triangular
+
+    if method == "auto":
+        # measured on config-5 (nb=420, d=48, TPU v5e): the scan costs
+        # ~13 ms while PCR's 2x9 batched [nb, d, d] LU solves cost ~100 ms
+        # — batched small-matrix factorizations lower poorly on TPU, so
+        # the scan stays the default; PCR remains available for shapes
+        # where per-step scan latency dominates (tiny d, huge nb)
+        method = os.environ.get("KONTIKI_BAND_SOLVE", "scan")
+    if method == "pcr":
+        return pcr_block_tridiag_solve(D, U, rhs)
 
     nb, d, _ = D.shape
 
@@ -114,6 +132,111 @@ def block_tridiag_solve(D, U, rhs):
 # SPIKE: distributed exact block-tridiagonal solve
 # ---------------------------------------------------------------------------
 
+def _rsolve(A, B):
+    """A @ inv(B) without forming the inverse."""
+    return jnp.linalg.solve(B.T, A.T).T
+
+
+def pcr_block_tridiag_solve(D, U, rhs):
+    """In-chip parallel cyclic reduction for the symmetric block-tridiagonal
+    system (same contract as :func:`block_tridiag_solve`).
+
+    The sequential block-Cholesky scan runs ``nb`` dependent steps — each a
+    tiny [d, d] factorization, so on TPU the solve is pure scan latency
+    (~0.5 ms x hundreds of steps at config-5 scale). PCR instead runs
+    ceil(log2(nb)) *batched* elimination levels: at level h every block row
+    eliminates its +-h neighbors with two batched [nb, d, d] solves and six
+    batched matmuls — ~3x the flops of the scan but fully parallel, which
+    is the right trade on a machine with idle MXU lanes and per-step scan
+    overhead. Stable for the LM-damped SPD bands this module produces
+    (diagonally dominant after damping); equality with the Cholesky scan is
+    pinned in tests/test_banded.py."""
+    nb, d, _ = D.shape
+    dtype = D.dtype
+    # symmetric band: row k couples to k-1 via L[k] = U[k-1]^T
+    L = jnp.concatenate(
+        [jnp.zeros((1, d, d), dtype), jnp.transpose(U[:-1], (0, 2, 1))], axis=0
+    )
+    Uc = U.at[nb - 1].set(jnp.zeros((d, d), dtype))
+    b = rhs
+    h = 1
+    zero_blk = jnp.zeros((d, d), dtype)
+
+    def shift_down(a, h, fill):
+        """a[k] <- a[k-h] (fill for k < h)."""
+        return jnp.concatenate(
+            [jnp.broadcast_to(fill, (h,) + a.shape[1:]), a[:-h]], axis=0
+        )
+
+    def shift_up(a, h, fill):
+        return jnp.concatenate(
+            [a[h:], jnp.broadcast_to(fill, (h,) + a.shape[1:])], axis=0
+        )
+
+    while h < nb:
+        D_m = shift_down(D, h, jnp.eye(d, dtype=dtype))
+        L_m = shift_down(L, h, zero_blk)
+        U_m = shift_down(Uc, h, zero_blk)
+        b_m = shift_down(b, h, jnp.zeros((d, b.shape[-1]), dtype))
+        D_p = shift_up(D, h, jnp.eye(d, dtype=dtype))
+        L_p = shift_up(L, h, zero_blk)
+        U_p = shift_up(Uc, h, zero_blk)
+        b_p = shift_up(b, h, jnp.zeros((d, b.shape[-1]), dtype))
+        # alpha = L @ inv(D_m), beta = U @ inv(D_p), batched over nb
+        alpha = jnp.transpose(
+            jnp.linalg.solve(jnp.transpose(D_m, (0, 2, 1)),
+                             jnp.transpose(L, (0, 2, 1))),
+            (0, 2, 1),
+        )
+        beta = jnp.transpose(
+            jnp.linalg.solve(jnp.transpose(D_p, (0, 2, 1)),
+                             jnp.transpose(Uc, (0, 2, 1))),
+            (0, 2, 1),
+        )
+        D = D - alpha @ U_m - beta @ L_p
+        b = b - alpha @ b_m - beta @ b_p
+        L = -(alpha @ L_m)
+        Uc = -(beta @ U_p)
+        h *= 2
+    return jnp.linalg.solve(D, b)
+
+
+def pcr_block_tridiag_row_solve(L, U, b, axis_name, n_shards):
+    """Distributed parallel cyclic reduction: ONE K-block row per shard.
+
+    Solves  u_s + L_s u_{s-1} + U_s u_{s+1} = b_s  (L_0 = U_{n-1} = 0)
+    where shard s holds ``L, U [K, K]`` and ``b [K, R]``. Each of the
+    ceil(log2(n)) levels exchanges rows at distance h with two
+    ``ppermute``s and eliminates them; couplings at distance >= n vanish
+    identically (rows with s < h have L = 0 by induction from L_0 = 0, so
+    the cyclic wrap-around rows are multiplied by zero). Afterwards every
+    shard solves its own decoupled K-system locally — nothing O(n) is
+    gathered or replicated, unlike a gathered dense interface solve.
+
+    Returns the local solution u_s [K, R]."""
+    n = n_shards
+    K = b.shape[0]
+    D = jnp.eye(K, dtype=b.dtype)
+    h = 1
+    for _ in range(max(1, (n - 1).bit_length())):
+        below = [(i, (i + h) % n) for i in range(n)]  # receive row s-h
+        above = [(i, (i - h) % n) for i in range(n)]  # receive row s+h
+        D_m, L_m, U_m, b_m = (
+            jax.lax.ppermute(a, axis_name, below) for a in (D, L, U, b)
+        )
+        D_p, L_p, U_p, b_p = (
+            jax.lax.ppermute(a, axis_name, above) for a in (D, L, U, b)
+        )
+        alpha = _rsolve(L, D_m)
+        beta = _rsolve(U, D_p)
+        D = D - alpha @ U_m - beta @ L_p
+        b = b - alpha @ b_m - beta @ b_p
+        L = -alpha @ L_m
+        U = -beta @ U_p
+        h *= 2
+    return jnp.linalg.solve(D, b)
+
+
 def spike_block_tridiag_solve(D, U, rhs, axis_name, n_shards):
     """Distributed exact solve of a symmetric block-tridiagonal system.
 
@@ -128,12 +251,14 @@ def spike_block_tridiag_solve(D, U, rhs, axis_name, n_shards):
 
     SPIKE algorithm (exact, no iteration): every shard factors its interior
     once with ``R + 2B`` right-hand sides (the rhs plus the two boundary
-    "spikes"); the 2n boundary block-unknowns form a small reduced system
-    solved replicated after one ``all_gather`` (size 2 n B — e.g. 672 for
-    8 shards of 42-wide blocks); one local combination finishes. Replaces
-    the previous gather-everything-and-recurse solve: local work is O(sb),
-    communication O(n B (B + R)), and nothing O(total blocks) is ever
-    replicated. Requires ``sb >= 2`` (boundary rows must be distinct).
+    "spikes"); the 2n boundary block-unknowns form a reduced interface
+    system — block-tridiagonal in per-shard [2B] pairs — solved by
+    *distributed parallel cyclic reduction* (log2(n) ppermute levels,
+    :func:`pcr_block_tridiag_row_solve`); one local combination finishes.
+    Local work is O(sb) + O(log n (2B)^3), communication O(log n B(B+R)),
+    and nothing O(n) is gathered or replicated (the previous revision
+    all-gathered a [2nB, 2nB] interface system and solved it densely on
+    every device). Requires ``sb >= 2`` (boundary rows must be distinct).
 
     Returns the local solution ``x [sb, B, R]``.
     """
@@ -168,42 +293,32 @@ def spike_block_tridiag_solve(D, U, rhs, axis_name, n_shards):
     W = sol[:, :, R:R + B]       # x += -W @ x_{prev shard, last block}
     V = sol[:, :, R + B:]        # x += -V @ x_{next shard, first block}
 
-    # reduced interface system over the 2n boundary blocks
-    bound = jnp.stack([
-        jnp.concatenate([W[0], V[0], Y[0]], axis=1),
-        jnp.concatenate([W[sb - 1], V[sb - 1], Y[sb - 1]], axis=1),
-    ])  # [2, B, 2B + R]
-    allb = jax.lax.all_gather(bound, axis_name)   # [n, 2, B, 2B + R]
+    # reduced interface system: per shard the pair u_s = [x_first; x_last]
+    # satisfies u_s + L_s u_{s-1} + U_s u_{s+1} = y_s with the spike
+    # couplings below — block-tridiagonal with one [2B] row per shard,
+    # solved by distributed parallel cyclic reduction (no gather)
+    zB = jnp.zeros((B, B), dtype)
+    L_row = jnp.concatenate([
+        jnp.concatenate([zB, W[0]], axis=1),
+        jnp.concatenate([zB, W[sb - 1]], axis=1),
+    ], axis=0)                                     # couples to u_{s-1}
+    U_row = jnp.concatenate([
+        jnp.concatenate([V[0], zB], axis=1),
+        jnp.concatenate([V[sb - 1], zB], axis=1),
+    ], axis=0)                                     # couples to u_{s+1}
+    y_row = jnp.concatenate([Y[0], Y[sb - 1]], axis=0)  # [2B, R]
+    u = pcr_block_tridiag_row_solve(L_row, U_row, y_row, axis_name, n)
 
-    A = jnp.eye(2 * n * B, dtype=dtype)
-    y = jnp.zeros((2 * n * B, R), dtype)
-    for s in range(n):
-        for pos, row in ((0, s * 2), (1, s * 2 + 1)):
-            Wp = allb[s, pos, :, :B]
-            Vp = allb[s, pos, :, B:2 * B]
-            Yp = allb[s, pos, :, 2 * B:]
-            r0 = row * B
-            y = y.at[r0:r0 + B].set(Yp)
-            if s > 0:
-                c = (2 * (s - 1) + 1) * B   # x_{s-1, last}
-                A = A.at[r0:r0 + B, c:c + B].add(Wp)
-            if s < n - 1:
-                c = (2 * (s + 1)) * B       # x_{s+1, first}
-                A = A.at[r0:r0 + B, c:c + B].add(Vp)
-    z = jnp.linalg.solve(A, y).reshape(2 * n, B, R)
-
-    # local combination: x = Y - W z_{s-1,last} - V z_{s+1,first}
-    zero = jnp.zeros((), jnp.int32)
-    z_prev = jax.lax.dynamic_slice(
-        z,
-        (jnp.clip(2 * (idx - 1) + 1, 0, 2 * n - 1).astype(jnp.int32), zero, zero),
-        (1, B, R),
-    )[0]
-    z_next = jax.lax.dynamic_slice(
-        z,
-        (jnp.clip(2 * (idx + 1), 0, 2 * n - 1).astype(jnp.int32), zero, zero),
-        (1, B, R),
-    )[0]
+    # boundary values from the neighbors (wrap-around rows are killed by
+    # W = 0 on the first shard / V = 0 on the last)
+    u_prev = jax.lax.ppermute(
+        u, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    u_next = jax.lax.ppermute(
+        u, axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    z_prev = u_prev[B:]   # x_{s-1, last}
+    z_next = u_next[:B]   # x_{s+1, first}
     x = Y - jnp.einsum("kbc,cr->kbr", W, z_prev) \
           - jnp.einsum("kbc,cr->kbr", V, z_next)
     return x
@@ -359,20 +474,17 @@ def build_banded_parts(spec, x64: bool):
 
     def step(runtime, state, lam):
         cost, blocks = it["linearize"](runtime, state)
-        dtype = runtime["mask"].dtype
-        g, _, _, _ = it["grad_and_diag"](blocks, dtype)
-        delta = banded_solve(runtime, blocks, g, lam)
+        delta, pred, grad_max = solve_with_pred(runtime, blocks, lam, state)
         new_state = it["retract"](runtime, state, delta)
         new_cost = it["total_cost"](runtime, new_state)
-        Hd = it["hcc_matvec"](blocks, delta)
-        pred = -(g @ delta + 0.5 * delta @ Hd)
-        grad_max = jnp.max(jnp.abs(g))
         return cost, new_state, new_cost, pred, delta, grad_max
 
-    def solve_with_pred(runtime, blocks, lam):
+    def solve_with_pred(runtime, blocks, lam, state=None):
         dtype = runtime["mask"].dtype
         g, _, _, _ = it["grad_and_diag"](blocks, dtype)
         delta = banded_solve(runtime, blocks, g, lam)
+        if state is not None:
+            delta = project_delta(spec, runtime, state, delta)
         Hd = it["hcc_matvec"](blocks, delta)
         pred = -(g @ delta + 0.5 * delta @ Hd)
         grad_max = jnp.max(jnp.abs(g))

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 
 from .kernels import (
     SENSOR_TANGENT_DIM,
+    landmark_free_mask,
+    project_dl,
     _TANGENT_DIMS,
     _bucket_terms,
     _huber,
@@ -337,23 +339,29 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
 
     # -- the LM step ----------------------------------------------------------
 
-    def schur_solve(runtime, blocks, lam, cg_tol, cg_maxiter):
+    def schur_solve(runtime, blocks, lam, cg_tol, cg_maxiter, state=None):
         """Damped iterative Schur solve; returns (delta [P], cg_iters,
-        aux) with aux = (g_c, g_l, D, dc-space pieces) for pred/grad."""
+        aux) with aux = (g_c, g_l, D, dc-space pieces) for pred/grad.
+
+        With ``state``, landmarks at the rho = 0 bound with outward
+        gradient are frozen for this step (kernels.landmark_free_mask);
+        the masked elimination E^T diag(free/D_d) E stays symmetric."""
         dtype = runtime["mask"].dtype
         mask_c, mask_l = split_mask(runtime["mask"])
         g_c, diag, D, g_l = grad_and_diag(blocks, dtype)
+        if state is not None and L:
+            mask_l = landmark_free_mask(state["rho"], g_l, mask_l)
         diag_cl = jnp.clip(diag, 1e-6, 1e32)
         diag_d = lam * diag_cl + (1.0 - mask_c)  # damping part of S diag
         kblocks, sblocks = precond_blocks(blocks, dtype)
 
         if L:
             D_d = D + lam * jnp.clip(D, 1e-6, 1e32) + (1.0 - mask_l)
-            rhs = et_matvec(blocks, g_l / D_d, dtype) - g_c
+            rhs = et_matvec(blocks, mask_l * g_l / D_d, dtype) - g_c
 
             def matvec(x):
                 y = hcc_matvec(blocks, x) + diag_d * x
-                Ex = e_matvec(blocks, x, dtype)
+                Ex = e_matvec(blocks, x, dtype) * mask_l
                 return y - et_matvec(blocks, Ex / D_d, dtype)
         else:
             D_d = jnp.ones((0,), dtype)
@@ -375,10 +383,21 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
     def retract(runtime, state, delta):
         return _retract_state(spec, runtime, state, delta)
 
-    def solve_with_pred(runtime, blocks, lam, cg_tol, cg_maxiter):
-        """Damped PCG solve plus the LM bookkeeping (pred, grad_max)."""
-        delta, cg_iters, aux = schur_solve(runtime, blocks, lam, cg_tol, cg_maxiter)
+    def solve_with_pred(runtime, blocks, lam, cg_tol, cg_maxiter, state=None):
+        """Damped PCG solve plus the LM bookkeeping (pred, grad_max).
+
+        With ``state`` given, the landmark step is projected to the
+        increment the bounded retraction (rho >= 0) actually applies
+        before computing pred (see kernels.project_delta)."""
+        delta, cg_iters, aux = schur_solve(
+            runtime, blocks, lam, cg_tol, cg_maxiter, state=state
+        )
         g_c, g_l, D, dc, dl = aux
+        if state is not None and L:
+            dl = project_dl(state["rho"], dl)
+            delta = jax.lax.dynamic_update_slice(
+                delta, dl, (spec.landmark_offset,)
+            )
         dtype = runtime["mask"].dtype
         gTd = g_c @ dc + (g_l @ dl if L else 0.0)
         Hdc = hcc_matvec(blocks, dc)
@@ -395,7 +414,7 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
     def step(runtime, state, lam, cg_tol=1e-10, cg_maxiter=500):
         cost, blocks = linearize(runtime, state)
         delta, pred, grad_max = solve_with_pred(
-            runtime, blocks, lam, cg_tol, cg_maxiter
+            runtime, blocks, lam, cg_tol, cg_maxiter, state=state
         )
         new_state = retract(runtime, state, delta)
         new_cost = total_cost(runtime, new_state)

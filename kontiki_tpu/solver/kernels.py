@@ -1004,7 +1004,22 @@ def build_parts(spec: ProblemSpec, x64: bool):
 
     def step(runtime, state, lam):
         cost, H, g = linearize(runtime, state)
-        delta = damped_solve(runtime["mask"], H, g, lam)
+        mask = runtime["mask"]
+        L = spec.num_landmarks
+        if L:
+            # bound active set: freeze rho=0 landmarks with outward
+            # gradient (zero their H row/col like a locked parameter)
+            lo = spec.landmark_offset
+            g_l = jax.lax.dynamic_slice(g, (lo,), (L,))
+            free = landmark_free_mask(state["rho"], g_l, jnp.ones_like(g_l))
+            f_full = jax.lax.dynamic_update_slice(
+                jnp.ones_like(g), free, (lo,)
+            )
+            H = H * f_full[:, None] * f_full[None, :]
+            g = g * f_full
+            mask = mask * f_full
+        delta = damped_solve(mask, H, g, lam)
+        delta = project_delta(spec, runtime, state, delta)
         new_state = retract(runtime, state, delta)
         new_cost = total_cost(runtime, new_state)
         pred = -(g @ delta + 0.5 * delta @ (H @ delta))
@@ -1021,6 +1036,65 @@ def damped_solve(mask, H, g, lam):
     D = jnp.clip(jnp.diag(H), 1e-6, 1e32)
     A = H + lam * jnp.diag(D) + jnp.diag(1.0 - mask)
     return -jnp.linalg.solve(A, g) * mask
+
+
+def project_delta(spec, runtime, state, delta):
+    """Clip bound-constrained tangent components (rho >= 0,
+    |d| <= max_time_offset, vt in [0, 1]) to the increment the retraction
+    will actually apply.
+
+    LM's predicted reduction must be computed from this *projected* step:
+    with a landmark at the rho = 0 bound and its gradient pointing
+    outward, the raw step predicts a decrease the projection never
+    realizes — the step-quality ratio then stays ~0 and the trust region
+    collapses even though the feasible part of the step is good. (Ceres
+    handles the same rho bound, static_rscamera_measurement.h:180, inside
+    its bounds-aware trust-region step.) Retraction is idempotent under
+    this projection, so applying the projected delta is unchanged."""
+    S, L, V = spec.num_sensors, spec.num_landmarks, spec.num_vt
+    if S:
+        off = spec.sensor_offset
+        sens = jax.lax.dynamic_slice(
+            delta, (off,), (S * SENSOR_TANGENT_DIM,)
+        ).reshape(S, SENSOR_TANGENT_DIM)
+        d_new = jnp.clip(
+            state["d"] + sens[:, 6], -runtime["d_max"], runtime["d_max"]
+        )
+        sens = sens.at[:, 6].set(d_new - state["d"])
+        delta = jax.lax.dynamic_update_slice(delta, sens.reshape(-1), (off,))
+    if L:
+        dl = jax.lax.dynamic_slice(delta, (spec.landmark_offset,), (L,))
+        dl = jnp.maximum(state["rho"] + dl, 0.0) - state["rho"]
+        delta = jax.lax.dynamic_update_slice(
+            delta, dl, (spec.landmark_offset,)
+        )
+    if V:
+        dv = jax.lax.dynamic_slice(delta, (spec.vt_offset,), (V,))
+        dv = jnp.clip(state["vt"] + dv, 0.0, 1.0) - state["vt"]
+        delta = jax.lax.dynamic_update_slice(delta, dv, (spec.vt_offset,))
+    return delta
+
+
+def project_dl(state_rho, dl):
+    """Landmark-only projection (split Schur paths carry dl separately)."""
+    return jnp.maximum(state_rho + dl, 0.0) - state_rho
+
+
+def landmark_free_mask(state_rho, g_l, mask_l):
+    """Bound active set: freeze landmarks sitting at the rho = 0 bound
+    whose gradient pushes outward (the unconstrained step would
+    immediately be clamped back).
+
+    Without this the LM step keeps spending its quadratic model on the
+    clamped direction: the step-quality ratio stays mediocre and the
+    solver zigzags along the bound with O(1e-7) cost decreases per
+    iteration. Freezing the active landmark for the iteration (exactly
+    like a locked parameter) lets the remaining variables take the full
+    Newton step — the projected-gradient active-set treatment Ceres
+    applies to the same rho bound (static_rscamera_measurement.h:180)."""
+    at_bound = state_rho <= 0.0
+    outward = g_l > 0.0  # descent direction -g_l points negative
+    return mask_l * (1.0 - (at_bound & outward).astype(mask_l.dtype))
 
 
 @functools.lru_cache(maxsize=None)

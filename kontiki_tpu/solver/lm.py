@@ -75,7 +75,8 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
     evaluation], ``solve(lin_out, lam) -> (delta, pred, grad_max)`` [linear
     solver], and ``retract``/``cost`` [residual evaluation]."""
 
-    from .kernels import build_parts, problem_runtime, problem_spec
+    from .kernels import (build_parts, landmark_free_mask, problem_runtime,
+                          problem_spec, project_delta)
 
     if strategy == "auto":
         strategy = _resolve_auto(problem)
@@ -91,8 +92,10 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
         lo = spec.landmark_offset
         lin_j = jax.jit(parts["linearize"])
 
-        def _solve(rt, H_cc, g_c, E, D, g_l, lam):
-            delta = parts["schur_solve"](rt, H_cc, g_c, E, D, g_l, lam)
+        def _solve(rt, H_cc, g_c, E, D, g_l, lam, state):
+            delta = parts["schur_solve"](rt, H_cc, g_c, E, D, g_l, lam,
+                                         state=state)
+            delta = project_delta(spec, rt, state, delta)
             dc = jnp.concatenate([delta[:lo], delta[lo + L:]])
             dl = delta[lo:lo + L]
             gTd = g_c @ dc + g_l @ dl
@@ -109,8 +112,8 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
             out = lin_j(runtime, state)
             return out[0], out[1:]
 
-        def solve_phase(lin_out, lam):
-            return solve_j(runtime, *lin_out, lam)
+        def solve_phase(lin_out, lam, state):
+            return solve_j(runtime, *lin_out, lam, state)
 
     elif strategy == "iterative_schur":
         from .iterative import build_iterative_parts
@@ -118,16 +121,16 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
         parts = build_iterative_parts(spec, x64)
         lin_j = jax.jit(parts["linearize"])
         solve_j = jax.jit(
-            lambda rt, blocks, lam: parts["solve_with_pred"](
-                rt, blocks, lam, cg_tol, cg_maxiter
+            lambda rt, blocks, lam, state: parts["solve_with_pred"](
+                rt, blocks, lam, cg_tol, cg_maxiter, state=state
             )
         )
 
         def linearize(state):
             return lin_j(runtime, state)
 
-        def solve_phase(blocks, lam):
-            return solve_j(runtime, blocks, lam)
+        def solve_phase(blocks, lam, state):
+            return solve_j(runtime, blocks, lam, state)
 
     elif strategy == "banded":
         from .banded import build_banded_parts
@@ -139,8 +142,8 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
         def linearize(state):
             return lin_j(runtime, state)
 
-        def solve_phase(blocks, lam):
-            return solve_j(runtime, blocks, lam)
+        def solve_phase(blocks, lam, state):
+            return solve_j(runtime, blocks, lam, state)
 
     else:
         from .kernels import damped_solve
@@ -148,8 +151,23 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
         parts = build_parts(spec, x64)
         lin_j = jax.jit(parts["linearize"])
 
-        def _solve(mask, H, g, lam):
+        def _solve(rt, H, g, lam, state):
+            mask = rt["mask"]
+            L = spec.num_landmarks
+            if L:
+                lo = spec.landmark_offset
+                g_l = jax.lax.dynamic_slice(g, (lo,), (L,))
+                free = landmark_free_mask(
+                    state["rho"], g_l, jnp.ones_like(g_l)
+                )
+                f_full = jax.lax.dynamic_update_slice(
+                    jnp.ones_like(g), free, (lo,)
+                )
+                H = H * f_full[:, None] * f_full[None, :]
+                g = g * f_full
+                mask = mask * f_full
             delta = damped_solve(mask, H, g, lam)
+            delta = project_delta(spec, rt, state, delta)
             pred = -(g @ delta + 0.5 * delta @ (H @ delta))
             grad_max = jnp.max(jnp.abs(g)) if g.shape[0] else jnp.zeros(())
             return delta, pred, grad_max
@@ -160,9 +178,9 @@ def _make_phases(problem, strategy, cg_tol=1e-10, cg_maxiter=500):
             cost, H, g = lin_j(runtime, state)
             return cost, (H, g)
 
-        def solve_phase(lin_out, lam):
+        def solve_phase(lin_out, lam, state):
             H, g = lin_out
-            return solve_j(runtime["mask"], H, g, lam)
+            return solve_j(runtime, H, g, lam, state)
 
     retract_j = jax.jit(parts["retract"])
     cost_j = jax.jit(parts["total_cost"])
@@ -265,7 +283,7 @@ def solve(
             # Phase 2: damped (Schur) linear solve.
             t1 = time.time()
             with _annot("kontiki/linear_solver"):
-                delta, pred, grad_max = phases["solve"](lin_out, lam)
+                delta, pred, grad_max = phases["solve"](lin_out, lam, state)
                 pred_f = float(pred)
                 grad_max_f = float(grad_max)
                 step_norm = float(jnp.linalg.norm(delta))

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 
 from .kernels import (
     _build_solver,
+    landmark_free_mask,
+    project_delta,
     _bucket_terms,
     _huber,
     _huber_prime,
@@ -173,9 +175,16 @@ def build_schur_parts(spec, x64: bool, local_L: int = 0):
     def retract(runtime, state, delta):
         return _retract_state(spec, runtime, state, delta)
 
-    def schur_solve(runtime, H_cc, g_c, E, D, g_l, lam):
-        """Damped block solve; returns the full tangent delta [P]."""
+    def schur_solve(runtime, H_cc, g_c, E, D, g_l, lam, state=None):
+        """Damped block solve; returns the full tangent delta [P].
+
+        With ``state`` given, landmarks at the rho = 0 bound whose
+        gradient points outward are frozen for this step (active set;
+        see kernels.landmark_free_mask)."""
         mask_c, mask_l = split_mask(runtime["mask"])
+        if state is not None and L:
+            mask_l = landmark_free_mask(state["rho"], g_l, mask_l)
+            E = E * mask_l[:, None]
         diag_c = jnp.clip(jnp.diag(H_cc), 1e-6, 1e32)
         A_cc = H_cc + lam * jnp.diag(diag_c) + jnp.diag(1.0 - mask_c)
         D_d = D + lam * jnp.clip(D, 1e-6, 1e32) + (1.0 - mask_l)
@@ -192,7 +201,8 @@ def build_schur_parts(spec, x64: bool, local_L: int = 0):
 
     def step(runtime, state, lam):
         cost, H_cc, g_c, E, D, g_l = linearize(runtime, state)
-        delta = schur_solve(runtime, H_cc, g_c, E, D, g_l, lam)
+        delta = schur_solve(runtime, H_cc, g_c, E, D, g_l, lam, state=state)
+        delta = project_delta(spec, runtime, state, delta)
         new_state = retract(runtime, state, delta)
         new_cost = total_cost(runtime, new_state)
         dc = jnp.concatenate([delta[:lo], delta[lo + L:]])
