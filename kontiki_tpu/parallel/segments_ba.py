@@ -471,15 +471,23 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             pass  # vt columns never appear (rs_lifting unsupported here)
         col_shift.append(jnp.asarray(shift))
 
-    def _whitened_blocks(rt, state):
-        """(cost, blocks, mask_l): per-bucket compressed, lock-masked,
-        robust-whitened Jacobian blocks with cols in the local layout."""
+    def _whitened_blocks(rt, state, col_mask=True):
+        """(cost, blocks, mask_l): per-bucket compressed, robust-whitened
+        Jacobian blocks with cols in the local layout.
+
+        ``col_mask=True`` applies the lock mask per row (PCG path, whose
+        matvecs consume Jw directly). The banded path passes False: the
+        per-row gather ``mask_cat[cols_m]`` ([M, C] from the [Pk_loc+ns]
+        vector) was the single slowest op of the config-5 step (~230 ms),
+        and since H = (JM)^T(JM) = M J^TJ M the identical masking applies
+        post-assembly in the tiny pair-block space instead."""
         rt_l = _local_runtime(rt)
         st = _halo_state(state)
-        mask_own = _own_mask()
-        mask_loc = _halo_fill(mask_own)
-        mask_cat = jnp.concatenate([mask_loc, lay["mask_sen"]])
         mask_l = _own_mask_l()
+        if col_mask:
+            mask_own = _own_mask()
+            mask_loc = _halo_fill(mask_own)
+            mask_cat = jnp.concatenate([mask_loc, lay["mask_sen"]])
 
         cost = jnp.zeros((), dtype)
         blocks = []
@@ -505,7 +513,9 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
                 cost = cost + 0.5 * jnp.sum(s2)
             cols_m = cols + col_shift[bi][None, :]
             sq = jnp.sqrt(rho_p)
-            Jw = J * mask_cat[cols_m][:, None, :] * sq[:, None, None]
+            Jw = J * sq[:, None, None]
+            if col_mask:
+                Jw = Jw * mask_cat[cols_m][:, None, :]
             rw = r * sq[:, None]
             blk = {"rw": rw, "Jw": Jw, "cols": cols_m,
                    "anchor": data["anchor"]}
@@ -898,6 +908,24 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
                     "aml,am->al", ohL, jnp.sum(Jr * rg, axis=2)
                 )
 
+        # lock masking post-assembly in pair-block space (Jw arrives
+        # unmasked from _whitened_blocks(col_mask=False)): H = M J^TJ M,
+        # g = M J^T r, E = E M — identical to masking J's columns per row
+        # but [nbloc, WB] instead of a [M, C] gather
+        mask_band_loc = _halo_fill(_own_mask())[ps_of_band_loc]
+        mb = mask_band_loc.reshape(nbloc, GBD)
+        mb_next = jnp.concatenate(
+            [mb[1:], jnp.zeros((1, GBD), dtype)], axis=0
+        )
+        mask_w = jnp.concatenate(
+            [mb, mb_next,
+             jnp.broadcast_to(lay["mask_sen"][None, :], (nbloc, ns))],
+            axis=1,
+        )
+        Pa = Pa * mask_w[:, :, None] * mask_w[:, None, :]
+        ga = ga * mask_w
+        Ea = Ea * mask_w[:, None, :]
+
         # damping diagonals come from A_cc (pre-elimination), exactly as in
         # the PCG path / the exact-Schur path (damp-then-eliminate)
         diagPa = jnp.einsum("aww->aw", Pa)
@@ -1084,7 +1112,7 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         return cost, new_state, new_cost, pred, (dc, dl), gmax
 
     def _step_local_banded(rt, state, lam):
-        cost, blocks, mask_l = _whitened_blocks(rt, state)
+        cost, blocks, mask_l = _whitened_blocks(rt, state, col_mask=False)
         dc, dl, pred, gmax = _banded_solve(rt, blocks, mask_l, lam, state)
         new_state = _retract_local(state, dc, dl)
         new_cost = _cost_local(rt, new_state)
