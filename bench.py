@@ -36,7 +36,8 @@ from pathlib import Path
 HERE = Path(__file__).resolve().parent
 CACHE = HERE / "BASELINE_MEASURED.json"
 
-MAX_ITERS = {"config1": 25, "config2": 25, "config3": 25, "config4": 25, "config5": 6}
+MAX_ITERS = {"config1": 25, "config2": 25, "config3": 25, "config4": 25,
+             "config4_newton": 25, "config5": 6}
 
 
 def _build_solver(name):
@@ -76,6 +77,20 @@ def _build_solver(name):
             make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
             problem.state0,
         )
+    if name == "config4_newton":
+        # flagship problem with NewtonRsCameraMeasurement rows (reference
+        # newton_rscamera_measurement.h): exercises the fused Newton
+        # linearization (TPU-only bench line; the CPU jacfwd fallback at
+        # this scale is minutes per solve and has no cached baseline)
+        prob = make_rsvi_problem(
+            nviews=64, nlandmarks=200, imu_rate=200.0, seed=4,
+            rs="newton", trajectory="split"
+        )
+        problem = Problem(prob["trajectory"], prob["measurements"])
+        return (
+            make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
+            problem.state0,
+        )
     if name == "config5":
         # long-sequence BA at the BASELINE-specified scale (10k+ keyframes,
         # 100k+ landmarks): composed knot-segment x landmark-block sharding
@@ -98,7 +113,8 @@ def _build_solver(name):
 #: timing repetitions per config: the small configs are latency-bound on
 #: the tunneled chip and historically swung +-30% run to run — medians over
 #: many repeats replace single-shot numbers (VERDICT r3 weak #5)
-REPEATS = {"config1": 21, "config2": 21, "config3": 7, "config4": 7, "config5": 3}
+REPEATS = {"config1": 21, "config2": 21, "config3": 7, "config4": 7,
+           "config4_newton": 7, "config5": 3}
 
 
 def _measure(name):
@@ -300,6 +316,13 @@ def main():
         return
 
     results, spreads, backend = measure_all()
+    if backend == "tpu":
+        try:
+            its, spread = _measure("config4_newton")
+            results["config4_newton"] = round(its, 4)
+            spreads["config4_newton"] = spread
+        except Exception:
+            pass
 
     baselines = None
     if CACHE.exists():

@@ -14,12 +14,16 @@ set -e
 python -m pytest tests/test_quaternion_math.py tests/test_native.py \
     tests/trajectories tests/sensors tests/test_cameras.py \
     tests/test_sfm.py tests/test_io.py tests/test_sew.py \
-    tests/test_synthetic.py -q "$@"
+    tests/test_synthetic.py tests/test_reference_interop.py \
+    tests/test_docs.py -q "$@"
 python -m pytest tests/test_measurements.py tests/test_imu.py -q "$@"
 python -m pytest tests/test_estimator.py tests/test_lm_semantics.py \
-    tests/test_staged_jacobian.py tests/test_assembly_kernel.py \
+    tests/test_staged_jacobian.py -q "$@"
+python -m pytest tests/test_assembly_kernel.py \
     tests/test_pallas_ops.py tests/test_linearize_kernel.py -q "$@"
 python -m pytest tests/test_schur.py tests/test_banded.py \
-    tests/test_iterative.py tests/test_ate.py tests/test_f32_tier.py -q "$@"
+    tests/test_iterative.py tests/test_ate.py tests/test_f32_tier.py \
+    tests/test_residual_parity.py -q "$@"
+python -m pytest tests/test_external_oracle.py -q "$@"
 python -m pytest tests/test_parallel.py tests/test_segments.py \
     tests/test_segments_ba.py tests/test_distributed.py -q "$@"

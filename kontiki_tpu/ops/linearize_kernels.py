@@ -38,9 +38,12 @@ compressed Jacobian ``J [M, rdim, C]`` over [ref window (24) | obs window
 ``J_rho``. Lock-masking and robust whitening stay in the caller, unchanged.
 
 Supported: rs_static / rs_lifting buckets, pinhole + atan cameras, spline
-sets ("se3",) and ("r3", "so3") — configs 3–5. rs_newton keeps the XLA
-path (its bounded inner Newton solve does not factor through the (p, q)
-bottleneck). The same component machinery also provides: a cost-only
+sets ("se3",) and ("r3", "so3") — configs 3–5. rs_newton has its own fused
+section below: the bounded inner Newton solve rides INSIDE the linearized
+chain (the obs side cannot factor through the (p, q) bottleneck — five
+evaluations at solution-dependent times — so its wide-window tangents
+join the main seed batch; the ref side still factors). The same
+component machinery also provides: a cost-only
 primal kernel, fused gyro/accelerometer row linearization (configs 1–2),
 batched trajectory-evaluation kernels (``evaluate_windows``), and the
 one-hot row expansion feeding the banded assembly.
@@ -707,6 +710,517 @@ def linearize_rows(cfg, ins, backend="auto"):
     r, J, J_rho = _linearize_call(
         cfg_key, names, tuple(ks), interpret, *arrays
     )
+    return (
+        r[:, :M].T,
+        J[:, :M].reshape(rdim, C, M).transpose(2, 0, 1),
+        J_rho[:, :M].T,
+    )
+
+
+# ---------------------------------------------------------------------------
+# fused rolling-shutter NEWTON rows (reference
+# newton_rscamera_measurement.h:23-120): the <=5-step bounded Newton
+# iteration on the row-time constraint runs INSIDE the tile, unrolled with
+# done-masking exactly like the XLA lax.scan path (kernels.py rs_newton),
+# and the whole chain — wide-window spline evals at the moving time,
+# velocity via a nested time-JVP, projection + its analytic time
+# derivative, the clamp/done selects — is linearized once per tile with
+# seed-batched forward mode. The ref-side evaluation still factors through
+# the (p, q) bottleneck (stage1 as in _tile_linearize); the obs side
+# cannot (five evaluations at solution-dependent times), so its window
+# tangents ride the main chain.
+#
+# Wide windows: the Newton time moves within [t0, t0 + readout], which can
+# cross knot boundaries, so rows stream their full W-knot readout-slack
+# windows (bspec.windows) and the active 4-knot sub-window is selected
+# in-kernel by a stop-gradiented masked blend — the exact semantics of
+# kernels._window_eval's dynamic_slice (selection commutes with
+# retraction, so blending knots and tangent rows with the same 0/1 mask
+# reproduces the XLA Jacobian exactly).
+# ---------------------------------------------------------------------------
+
+def _blend_sub4(win, delta, u_in, s_over_dt, W, D, td):
+    """Masked 4-of-W sub-window select (kernels._window_eval semantics).
+
+    win: [W][D] comps; delta: [W*td] rows of [T] (list or array); returns
+    (sub4 [4][D], sub_delta [4*td] list, u_loc [T])."""
+    s_rel = u_in + s_over_dt
+    j = jnp.clip(
+        jnp.floor(jax.lax.stop_gradient(s_rel)), 0.0, float(W - 4)
+    )
+    u_loc = s_rel - j
+    masks = [jnp.where(j == float(jj), 1.0, 0.0) for jj in range(W - 3)]
+    sub = []
+    sub_delta = []
+    for k in range(4):
+        comps = []
+        for c in range(D):
+            acc = masks[0] * win[k][c]
+            for jj in range(1, W - 3):
+                acc = acc + masks[jj] * win[jj + k][c]
+            comps.append(acc)
+        sub.append(tuple(comps))
+        for c in range(td):
+            acc = masks[0] * delta[k * td + c]
+            for jj in range(1, W - 3):
+                acc = acc + masks[jj] * delta[(jj + k) * td + c]
+            sub_delta.append(acc)
+    return sub, sub_delta, u_loc
+
+
+def _evaluate_pinhole(row, X, dX):
+    """(y, dy) — projection + time derivative, component form of
+    camera_models.pinhole_evaluate (same eps placement)."""
+    K = row["K"]
+    px = K[0] * X[0] + K[1] * X[1] + K[2] * X[2]
+    py = K[3] * X[0] + K[4] * X[1] + K[5] * X[2]
+    pz = K[6] * X[0] + K[7] * X[1] + K[8] * X[2]
+    dpx = K[0] * dX[0] + K[1] * dX[1] + K[2] * dX[2]
+    dpy = K[3] * dX[0] + K[4] * dX[1] + K[5] * dX[2]
+    dpz = K[6] * dX[0] + K[7] * dX[1] + K[8] * dX[2]
+    den = pz * pz + _EPSP
+    y = (px / pz, py / pz)
+    dy = ((dpx * pz - px * dpz) / den, (dpy * pz - py * dpz) / den)
+    return y, dy
+
+
+def _evaluate_atan(row, X, dX):
+    """(y, dy) — component form of camera_models.atan_evaluate."""
+    K, wc, gamma = row["K"], row["wc"], row["gamma"]
+    Az = X[2] + _EPSP
+    A0 = X[0] / Az
+    A1 = X[1] / Az
+    L0 = A0 - wc[0]
+    L1 = A1 - wc[1]
+    r = jnp.sqrt(L0 * L0 + L1 * L1 + _EPSP)
+    f = _atan(r * gamma) / gamma
+    g0 = L0 / r
+    g1 = L1 / r
+    Y0 = wc[0] + f * g0
+    Y1 = wc[1] + f * g1
+    y = (K[0] * Y0 + K[1] * Y1 + K[2], K[3] * Y0 + K[4] * Y1 + K[5])
+
+    z2 = X[2] * X[2] + _EPSP
+    dx = (dX[0] * X[2] - X[0] * dX[2]) / z2
+    dyv = (dX[1] * X[2] - X[1] * dX[2]) / z2
+    common = g0 * dx + g1 * dyv
+    df = common / (1.0 + gamma * gamma * r * r)
+    dgu = (dx * r - L0 * common) / (r * r)
+    du = f * dgu + df * g0
+    dgv = (dyv * r - L1 * common) / (r * r)
+    dv = f * dgv + df * g1
+    dy = (K[0] * du + K[1] * dv, K[3] * du + K[4] * dv)
+    return y, dy
+
+
+def _newton_prelude(cfg, ins):
+    """Row consts + the two wide-window eval closures f(delta, s)."""
+    camera = cfg["camera"]
+    T = ins["u_ref"].shape[-1]
+
+    def comps(name, k):
+        arr = ins[name]
+        return tuple(arr[i] for i in range(k))
+
+    def win_comps(name, W, D):
+        arr = ins[name]  # [W*D, T]
+        return tuple(
+            tuple(arr[j * D + k] for k in range(D)) for j in range(W)
+        )
+
+    row = {
+        "q_ct": comps("q_ct", 4),
+        "p_ct": comps("p_ct", 3),
+        "rho": ins["rho"][0],
+        "yh_ref": comps("yh_ref", 3),
+        "uv_obs": comps("uv_obs", 2),
+        "weight": ins["weight"][0],
+        "K": comps("K", 9),
+        "v_obs": ins["v_obs"][0],
+        "rows": ins["rows"][0],
+        "readout": ins["readout"][0],
+    }
+    if camera == "AtanCamera":
+        row["wc"] = comps("wc", 2)
+        row["gamma"] = ins["gamma"][0]
+
+    if cfg["kind"] == "se3":
+        W = cfg["Ws"][0]
+        dt = ins["dts"][0]
+        wr = win_comps("win_ref", W, 7)
+        wo = win_comps("win_obs", W, 7)
+
+        def f_ref(delta, s):
+            sub, sd, u = _blend_sub4(wr, delta, ins["u_ref"][0], s / dt, W, 7, 6)
+            return jnp.stack(_pq_se3(sub, u, dt, sd, jnp.zeros_like(u)))
+
+        def f_obs(delta, s):
+            sub, sd, u = _blend_sub4(wo, delta, ins["u_obs"][0], s / dt, W, 7, 6)
+            return jnp.stack(_pq_se3(sub, u, dt, sd, jnp.zeros_like(u)))
+    else:
+        r3_first = cfg["r3_first"]
+        # Ws in spec order; map to r3/so3
+        W0, W1 = cfg["Ws"]
+        W_r3, W_so3 = (W0, W1) if r3_first else (W1, W0)
+        dt_r3 = ins["dts"][0]
+        dt_so3 = ins["dts"][1]
+        wr_r3 = win_comps("win_ref_r3", W_r3, 3)
+        wr_so3 = win_comps("win_ref_so3", W_so3, 4)
+        wo_r3 = win_comps("win_obs_r3", W_r3, 3)
+        wo_so3 = win_comps("win_obs_so3", W_so3, 4)
+        n_first = (W_r3 if r3_first else W_so3) * 3
+
+        def make_f(w_r3, w_so3, u_r3_key, u_so3_key):
+            def f(delta, s):
+                d_r3 = [delta[(0 if r3_first else n_first) + c]
+                        for c in range(W_r3 * 3)]
+                d_so3 = [delta[(n_first if r3_first else 0) + c]
+                         for c in range(W_so3 * 3)]
+                sub_r3, sd_r3, u3 = _blend_sub4(
+                    w_r3, d_r3, ins[u_r3_key][0], s / dt_r3, W_r3, 3, 3
+                )
+                sub_so3, sd_so3, uq = _blend_sub4(
+                    w_so3, d_so3, ins[u_so3_key][0], s / dt_so3, W_so3, 4, 3
+                )
+                # _pq_split expects 24 rows ordered [r3 12 | so3 12] by
+                # r3_first over the 4-knot sub-window
+                d24 = (sd_r3 + sd_so3) if r3_first else (sd_so3 + sd_r3)
+                return jnp.stack(_pq_split(
+                    sub_r3, sub_so3, u3, uq, dt_r3, dt_so3, d24,
+                    jnp.zeros_like(u3), r3_first,
+                ))
+            return f
+
+        f_ref = make_f(wr_r3, wr_so3, "u_ref", "u_ref_so3")
+        f_obs = make_f(wo_r3, wo_so3, "u_obs", "u_obs_so3")
+
+    return row, f_ref, f_obs, T
+
+
+def _newton_chain(cfg, row, f_obs, T, dtype, unroll=False):
+    """chain(u_ref7, delta_obs, dsen, drho, ds) -> r [rdim, T]: the
+    bounded Newton reprojection from the ref-side (p, q) bottleneck.
+
+    Mirrors kernels.py's rs_newton residual op-for-op: 5 unrolled masked
+    Newton steps on f(t) = v_row(t) - rows (t - t0)/readout, velocity and
+    dq/dt via a time-JVP of the obs evaluation (identical to the explicit
+    (vel, omega) sandwich accumulation for unit q), dX_cam carrying the
+    reference's `+ rho p_ct` quirk, clamp to [t0, t0 + readout], result
+    latched at the first converged step."""
+    camera = cfg["camera"]
+    evaluate = _evaluate_atan if camera == "AtanCamera" else _evaluate_pinhole
+
+    def chain(u_ref7, delta_obs, dsen, drho, ds):
+        p_ref = (u_ref7[0], u_ref7[1], u_ref7[2])
+        q_ref = (u_ref7[3], u_ref7[4], u_ref7[5], u_ref7[6])
+        dq = _so3_exp_quat((dsen[0], dsen[1], dsen[2]))
+        q_ct = _qmul(dq, row["q_ct"])
+        p_ct = (row["p_ct"][0] + dsen[3], row["p_ct"][1] + dsen[4],
+                row["p_ct"][2] + dsen[5])
+        rho = row["rho"] + drho
+        yh = row["yh_ref"]
+        a = (yh[0] - rho * p_ct[0], yh[1] - rho * p_ct[1],
+             yh[2] - rho * p_ct[2])
+        X_ref = _qrotate(_qconj(q_ct), a)
+        Xw = _qrotate(q_ref, X_ref)
+        X = (Xw[0] + rho * p_ref[0], Xw[1] + rho * p_ref[1],
+             Xw[2] + rho * p_ref[2])
+
+        row_delta = row["readout"] / row["rows"]
+        max_dt2 = (0.5 * row_delta) * (0.5 * row_delta)
+
+        def obs_X_cam(t_shift):
+            pq = f_obs(delta_obs, t_shift)
+            p = (pq[0], pq[1], pq[2])
+            q = (pq[3], pq[4], pq[5], pq[6])
+            sv = (X[0] - rho * p[0], X[1] - rho * p[1], X[2] - rho * p[2])
+            X_obs = _qrotate(_qconj(q), sv)
+            Xc = _qrotate(q_ct, X_obs)
+            return jnp.stack((Xc[0] + rho * p_ct[0], Xc[1] + rho * p_ct[1],
+                              Xc[2] + rho * p_ct[2]))
+
+        def body(carry, _):
+            t_rel, y0_keep, y1_keep, done = carry
+            X_cam, dX0 = jax.jvp(
+                obs_X_cam, (ds + t_rel,), (jnp.ones_like(t_rel),)
+            )
+            Xc = (X_cam[0], X_cam[1], X_cam[2])
+            # the reference's constant-offset quirk in the time derivative
+            # (newton_rscamera_measurement.h:91)
+            dXc = (dX0[0] + rho * p_ct[0], dX0[1] + rho * p_ct[1],
+                   dX0[2] + rho * p_ct[2])
+            y, dy = evaluate(row, Xc, dXc)
+            fv = y[1] - row["rows"] * t_rel / row["readout"]
+            dfv = dy[1] - row["rows"] / row["readout"]
+            dtn = fv / dfv
+            new_t = t_rel - dtn
+            now_done = dtn * dtn < max_dt2
+            new_t = jnp.where(
+                now_done, new_t,
+                jnp.clip(new_t, jnp.zeros_like(new_t), row["readout"]),
+            )
+            t_rel = jnp.where(done, t_rel, new_t)
+            y0_keep = jnp.where(done, y0_keep, y[0])
+            y1_keep = jnp.where(done, y1_keep, y[1])
+            return (t_rel, y0_keep, y1_keep, done | now_done), None
+
+        # lax.scan keeps the (heavily nested-AD) body traced/compiled once;
+        # the Mosaic lowering doesn't accept this scan form (non-index
+        # carries under linearize), so the Pallas opt-in path unrolls
+        t_rel0 = row["v_obs"] * row_delta  # t_obs - t0_obs
+        carry0 = (t_rel0, jnp.zeros((T,), dtype), jnp.zeros((T,), dtype),
+                  jnp.zeros((T,), bool))
+        if unroll:
+            carry = carry0
+            for _ in range(5):
+                carry, _ = body(carry, None)
+            (_, y0_keep, y1_keep, _) = carry
+        else:
+            (_, y0_keep, y1_keep, _), _ = jax.lax.scan(
+                body, carry0, None, length=5
+            )
+        w = row["weight"]
+        return jnp.stack((w * (row["uv_obs"][0] - y0_keep),
+                          w * (row["uv_obs"][1] - y1_keep)))
+
+    return chain
+
+
+def _tile_newton_cost(cfg, ins, unroll=False):
+    """Newton residuals only: r [rdim, T]."""
+    dtype = ins["u_ref"].dtype
+    row, f_ref, f_obs, T = _newton_prelude(cfg, ins)
+    chain = _newton_chain(cfg, row, f_obs, T, dtype, unroll=unroll)
+    Ct = cfg["Ct"]
+    zerosC = jnp.zeros((Ct, T), dtype)
+    zerosT = jnp.zeros((T,), dtype)
+    pq_ref = f_ref(zerosC, zerosT)
+    u_ref7 = tuple(pq_ref[k] for k in range(7))
+    r = chain(u_ref7, zerosC, (zerosT,) * 6, zerosT, zerosT)
+    if "valid" in ins:
+        r = r * ins["valid"][0][None, :]
+    return r
+
+
+def _tile_newton_linearize(cfg, ins, unroll=False):
+    """Linearize one Newton tile: (r [rdim, T], J [rdim*C, T],
+    J_rho [rdim, T]) with C = 2*Ct + 13 (ref block, obs block, sensor)."""
+    rdim = cfg["rdim"]
+    Ct = cfg["Ct"]
+    dtype = ins["u_ref"].dtype
+    row, f_ref, f_obs, T = _newton_prelude(cfg, ins)
+    chain = _newton_chain(cfg, row, f_obs, T, dtype, unroll=unroll)
+
+    zerosC = jnp.zeros((Ct, T), dtype)
+    zerosT = jnp.zeros((T,), dtype)
+
+    # stage 1: the ref eval factors through its (p, q) bottleneck
+    pq_ref, flin_ref = jax.linearize(f_ref, zerosC, zerosT)
+    seeds_d = jnp.concatenate(
+        [jnp.eye(Ct, dtype=dtype), jnp.zeros((1, Ct), dtype)]
+    )
+    seeds_s = jnp.concatenate(
+        [jnp.zeros((Ct,), dtype), jnp.ones((1,), dtype)]
+    )
+
+    def seed_ref(ed, es):
+        return flin_ref(
+            jnp.broadcast_to(ed[:, None], (Ct, T)),
+            jnp.broadcast_to(es, (T,)),
+        )
+
+    ck = NEWTON_SEED_CHUNK
+    Jw_ref = jnp.concatenate([
+        jax.vmap(seed_ref)(seeds_d[i: i + ck], seeds_s[i: i + ck])
+        for i in range(0, Ct + 1, ck)
+    ])  # [Ct+1, 7, T]
+
+    # main chain: seeds over (u_ref7, delta_obs, dsen, drho, ds)
+    u_ref7 = tuple(pq_ref[k] for k in range(7))
+
+    def chain7(du_ref, delta_obs, dsen, drho, ds):
+        ur = tuple(u_ref7[k] + du_ref[k] for k in range(7))
+        return chain(ur, delta_obs, tuple(dsen[j] for j in range(6)),
+                     drho, ds)
+
+    zeros7 = jnp.zeros((7, T), dtype)
+    zeros6 = jnp.zeros((6, T), dtype)
+    r, Glin = jax.linearize(chain7, zeros7, zerosC, zeros6, zerosT, zerosT)
+
+    NS = 7 + Ct + 8  # u_ref(7) + obs window (Ct) + sen(6) + rho + s
+    s_uref = jnp.eye(NS, 7, dtype=dtype)
+    s_obs = jnp.eye(NS, Ct, k=-7, dtype=dtype)
+    s_sen = jnp.eye(NS, 6, k=-(7 + Ct), dtype=dtype)
+    s_rho = jnp.eye(NS, 1, k=-(13 + Ct), dtype=dtype)[:, 0]
+    s_s = jnp.eye(NS, 1, k=-(14 + Ct), dtype=dtype)[:, 0]
+
+    def seed2(ea, eb, ec, ed, ee):
+        return Glin(
+            jnp.broadcast_to(ea[:, None], (7, T)),
+            jnp.broadcast_to(eb[:, None], (Ct, T)),
+            jnp.broadcast_to(ec[:, None], (6, T)),
+            jnp.broadcast_to(ed, (T,)),
+            jnp.broadcast_to(ee, (T,)),
+        )
+
+    JG = jnp.concatenate([
+        jax.vmap(seed2)(
+            s_uref[i: i + ck], s_obs[i: i + ck], s_sen[i: i + ck],
+            s_rho[i: i + ck], s_s[i: i + ck],
+        )
+        for i in range(0, NS, ck)
+    ])  # [NS, rdim, T]
+
+    # chain rule: ref window block through the bottleneck
+    J_ref = jnp.zeros((rdim, Ct, T), dtype)
+    t_ref = jnp.zeros((rdim, T), dtype)
+    for k in range(7):
+        J_ref = J_ref + JG[k][:, None, :] * Jw_ref[:Ct, k][None, :, :]
+        t_ref = t_ref + JG[k] * Jw_ref[Ct, k][None, :]
+    J_obs = jnp.stack([JG[7 + c] for c in range(Ct)], axis=1)
+    # sensor block: q_ct(3), p_ct(3), d = direct s column + ref time chain,
+    # biases(6) = 0
+    J_sen = jnp.concatenate(
+        [
+            jnp.stack([JG[7 + Ct + j] for j in range(6)], axis=1),
+            (JG[14 + Ct] + t_ref)[:, None, :],
+            jnp.zeros((rdim, 6, T), dtype),
+        ],
+        axis=1,
+    )
+    J = jnp.concatenate([J_ref, J_obs, J_sen], axis=1)  # [rdim, C, T]
+    J_rho = JG[13 + Ct]
+
+    if "valid" in ins:
+        v = ins["valid"][0]
+        r = r * v[None, :]
+        J = J * v[None, None, :]
+        J_rho = J_rho * v[None, :]
+
+    C = J.shape[1]
+    return r, J.reshape(rdim * C, T), J_rho
+
+
+#: Newton kernel tiling: lanes must stay 128 (Mosaic block constraint);
+#: the 5-iteration chain's live tangent set at 128 lanes overflows the
+#: 16 MiB scoped VMEM when all seeds evaluate at once (measured 28.5 MiB),
+#: so the seed vmap is CHUNKED — each chunk's tangent intermediates can be
+#: retired before the next chunk evaluates.
+NEWTON_TILE = 128
+NEWTON_SEED_CHUNK = 512  # effectively un-chunked; vmem_limit_bytes covers the tape
+
+
+def _make_newton_kernel(cfg, names, ks, cost_only):
+    def kernel(*refs):
+        ins = {}
+        for name, k, ref in zip(names, ks, refs[: len(names)]):
+            ins[name] = ref[...]
+        if cost_only:
+            refs[len(names)][...] = _tile_newton_cost(cfg, ins, unroll=True)
+        else:
+            r_ref, J_ref_, Jr_ref = refs[len(names):]
+            r, J, J_rho = _tile_newton_linearize(cfg, ins, unroll=True)
+            r_ref[...] = r
+            J_ref_[...] = J
+            Jr_ref[...] = J_rho
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg_key", "names", "ks", "cost_only", "interpret"),
+)
+def _newton_call(cfg_key, names, ks, cost_only, interpret, *arrays):
+    cfg = dict(cfg_key)
+    rdim, C = cfg["rdim"], cfg["C"]
+    M_pad = arrays[0].shape[-1]
+    NT = NEWTON_TILE
+    n_tiles = M_pad // NT
+    dtype = arrays[0].dtype
+    kernel = _make_newton_kernel(cfg, names, ks, cost_only)
+    in_specs = [
+        pl.BlockSpec((k, NT), lambda i, _k=k: (0, i), memory_space=pltpu.VMEM)
+        for k in ks
+    ]
+    if cost_only:
+        out_shapes = jax.ShapeDtypeStruct((rdim, M_pad), dtype)
+        out_specs = pl.BlockSpec(
+            (rdim, NT), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+    else:
+        out_shapes = (
+            jax.ShapeDtypeStruct((rdim, M_pad), dtype),
+            jax.ShapeDtypeStruct((rdim * C, M_pad), dtype),
+            jax.ShapeDtypeStruct((rdim, M_pad), dtype),
+        )
+        out_specs = (
+            pl.BlockSpec((rdim, NT), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rdim * C, NT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rdim, NT), lambda i: (0, i), memory_space=pltpu.VMEM),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        # the linearize tape of the 5-iteration chain needs ~20 MiB of
+        # scoped VMEM at 128 lanes — above the conservative 16 MiB default,
+        # well within the hardware's VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=M_pad * 400_000,
+            bytes_accessed=M_pad * 4 * (sum(ks) + rdim * (C + 2)),
+            transcendentals=M_pad * 1000,
+        ),
+    )(*arrays)
+
+
+#: Newton backend on TPU: 'xla' (default) runs the fused tile math as one
+#: XLA program — 6.6x faster than the vmapped jacfwd path on the flagship
+#: newton problem (41.8 vs 275.9 ms for 12.3k rows) and compiles in
+#: seconds. 'pallas' lowers the same tile to a Mosaic kernel; it is exact
+#: (unrolled Newton loop, raised VMEM limit) but its Mosaic compile takes
+#: ~10 minutes, so it stays opt-in until kernel compile time is fixed.
+NEWTON_BACKEND = os.environ.get("KONTIKI_NEWTON_BACKEND", "xla")
+
+
+def newton_rows(cfg, ins, cost_only=False, backend="auto"):
+    """Fused rs_newton rows: (r, J [M, rdim, C], J_rho) or r only."""
+    names = tuple(sorted(ins.keys()))
+    M = ins[names[0]].shape[-1]
+    rdim, C = cfg["rdim"], cfg["C"]
+    if backend == "auto" and NEWTON_BACKEND != "pallas":
+        backend = "xla"
+    if backend == "xla":
+        if cost_only:
+            return _tile_newton_cost(cfg, ins).T
+        r, J, J_rho = _tile_newton_linearize(cfg, ins)
+        return r.T, J.reshape(rdim, C, M).transpose(2, 0, 1), J_rho.T
+    NT = NEWTON_TILE
+    M_pad = max(((M + NT - 1) // NT) * NT, NT)
+    arrays = []
+    ks = []
+    for n in names:
+        a = ins[n]
+        if a.shape[-1] != M_pad:
+            pad_val = 1.0 if n.startswith("dts") or n in ("rows", "readout") \
+                else 0.0
+            a = jnp.pad(a, ((0, 0), (0, M_pad - M)), constant_values=pad_val)
+        arrays.append(a)
+        ks.append(a.shape[0])
+    cfg_key = tuple(sorted(cfg.items()))
+    interpret = jax.default_backend() != "tpu"
+    out = _newton_call(cfg_key, names, tuple(ks), cost_only, interpret,
+                       *arrays)
+    if cost_only:
+        return out[:, :M].T
+    r, J, J_rho = out
     return (
         r[:, :M].T,
         J[:, :M].reshape(rdim, C, M).transpose(2, 0, 1),

@@ -30,9 +30,10 @@ Preconditioner: damped per-knot [td, td] + per-sensor [13, 13] block-Jacobi
 (identical structure to ``solver.iterative``), assembled locally with a
 halo reduce.
 
-Scope: rs_static camera buckets plus single-window trajectory/IMU buckets,
-locked time offsets (static row ownership), all splines on one knot grid.
-rs_newton / rs_lifting fall back to the measurement-sharded iterative path.
+Scope: rs_static + rs_newton camera buckets plus single-window
+trajectory/IMU buckets, locked time offsets (static row ownership), all
+splines on one knot grid. rs_lifting falls back to the measurement-sharded
+iterative path (its per-row vt parameters are not landmark-owned).
 """
 import math
 
@@ -72,10 +73,10 @@ def segment_ba_layout(problem, n_shards):
     runtime = problem_runtime(problem)
     kinds = [b.kind.split(":")[0] for b in spec.buckets]
     for k in kinds:
-        if k not in _SINGLE_WINDOW + ("rs_static",):
+        if k not in _SINGLE_WINDOW + ("rs_static", "rs_newton"):
             raise ValueError(
-                f"segment BA sharding supports rs_static + trajectory/IMU "
-                f"buckets; got {k}"
+                f"segment BA sharding supports rs_static/rs_newton + "
+                f"trajectory/IMU buckets; got {k}"
             )
     mask = np.asarray(problem.mask)
     d0 = np.array([s.time_offset if hasattr(s, "time_offset") else 0.0
@@ -95,26 +96,39 @@ def segment_ba_layout(problem, n_shards):
     n = n_shards
 
     # --- row ownership + halo sizing (host-side, offsets locked) ---------
+    # Indices are the rows' WINDOW-BASE knots, computed exactly as the
+    # linearization kernels compute i_base (kernels._with_base_times +
+    # _i_bases: frame-start times for camera rows, clip to n - W), so the
+    # anchor/halo/rel-id math below bounds the actual column support —
+    # row-time-based indices can sit up to ceil(readout/dt) knots RIGHT of
+    # the true window base and silently under-anchor.
     i_refs = []
     i_obs_list = []
     max_dpos = 0  # obs window right of ref window (knots)
     max_dneg = 0
     for bspec, data in zip(spec.buckets, runtime["data"]):
         d = {k: np.asarray(v) for k, v in data.items()}
+        W_b = max(bspec.windows)
         i_obs = None
         if bspec.kind.startswith("rs_"):
             dd = d0[d["sid"]]
-            t_ref = d["t0_ref"] + dd + d["v_ref"] * d["readout"] / d["rows"]
-            t_obs = d["t0_obs"] + dd + d["v_obs"] * d["readout"] / d["rows"]
-            i_ref = np.clip(((t_ref - t0) / dt).astype(np.int64), 0, nk - 4)
-            i_obs = np.clip(((t_obs - t0) / dt).astype(np.int64), 0, nk - 4)
+            t_ref = d["t0_ref"] + dd
+            t_obs = d["t0_obs"] + dd
+            i_ref = np.clip(
+                np.floor((t_ref - t0) / dt).astype(np.int64), 0, nk - W_b
+            )
+            i_obs = np.clip(
+                np.floor((t_obs - t0) / dt).astype(np.int64), 0, nk - W_b
+            )
             delta = i_obs - i_ref
             if len(delta):
                 max_dpos = max(max_dpos, int(delta.max()))
                 max_dneg = max(max_dneg, int(-delta.min()))
         else:
             t = d["t"] + (d0[d["sid"]] if "sid" in d else 0.0)
-            i_ref = np.clip(((t - t0) / dt).astype(np.int64), 0, nk - 4)
+            i_ref = np.clip(
+                np.floor((t - t0) / dt).astype(np.int64), 0, nk - W_b
+            )
         i_refs.append(i_ref)
         i_obs_list.append(i_obs)
 
@@ -436,6 +450,15 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         shift = (s * seg - Hl).astype(dtype)
         rt["spline_t0"] = [
             t0_ + shift * dt_ for t0_, dt_ in zip(rt["spline_t0"], rt["spline_dt"])
+        ]
+        # evaluation bound = GLOBAL knot count in local coordinates: the
+        # local arrays carry halo + pad knots past the real spline end, and
+        # out-of-range times (the Newton clamp can overshoot max_time) must
+        # extrapolate from the same terminal window as the single-chip path
+        # instead of sliding into pad knots (kernels._spline_n_eval)
+        rt["spline_n_eval"] = [
+            jnp.asarray(nk_g, jnp.int32) - (s * seg - Hl).astype(jnp.int32)
+            for nk_g in [sp.n for sp in spec.splines]
         ]
         return rt
 

@@ -115,11 +115,24 @@ def retract_window(kind, win, delta):
     raise ValueError(kind)
 
 
-def _window_eval(kind, knots, delta, i_base, t, t0, dt, W):
+def _spline_n_eval(runtime, si, sp):
+    """Clip bound for window-base/interpolation indices.
+
+    Equals the spline's knot count, EXCEPT inside knot-segment-sharded
+    programs where the local array is [halo + seg + halo + pad] long:
+    there the bound must still be the GLOBAL knot count (in local
+    coordinates, set per shard by the sharding layer's _local_runtime) so
+    out-of-range times extrapolate from the same terminal window as the
+    single-chip path instead of sliding into pad knots."""
+    ne = runtime.get("spline_n_eval")
+    return ne[si] if ne is not None else sp.n
+
+
+def _window_eval(kind, knots, delta, i_base, t, t0, dt, W, n_eval=None):
     """Evaluate one spline at time t using the W-knot window at i_base with
     tangent increment delta applied."""
     D = knots.shape[1]
-    n = knots.shape[0]
+    n = knots.shape[0] if n_eval is None else n_eval
     win = jax.lax.dynamic_slice(knots, (i_base, jnp.zeros_like(i_base)), (W, D))
     win = retract_window(kind, win, delta)
     s = (t - t0) / dt
@@ -151,13 +164,15 @@ def _make_traj_eval(spec: ProblemSpec, bspec: BucketSpec, tag):
         for si, sp in enumerate(spec.splines):
             W = bspec.windows[si]
             t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+            ne = _spline_n_eval(runtime, si, sp)
             i_base = jnp.clip(
                 jnp.floor((jax.lax.stop_gradient(t_base) - t0) / dt).astype(jnp.int32),
                 0,
-                sp.n - W,
+                ne - W,
             )
             out = _window_eval(
-                sp.kind, state[sp.kind], deltas[tag + sp.kind], i_base, t, t0, dt, W
+                sp.kind, state[sp.kind], deltas[tag + sp.kind], i_base, t,
+                t0, dt, W, n_eval=ne,
             )
             if sp.kind == "r3":
                 p, v, a = out["p"], out["v"], out["a"]
@@ -175,8 +190,9 @@ def _i_bases(spec, bspec, runtime, t_base):
     for si, sp in enumerate(spec.splines):
         W = bspec.windows[si]
         t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+        ne = _spline_n_eval(runtime, si, sp)
         out.append(
-            jnp.clip(jnp.floor((t_base - t0) / dt).astype(jnp.int32), 0, sp.n - W)
+            jnp.clip(jnp.floor((t_base - t0) / dt).astype(jnp.int32), 0, ne - W)
         )
     return out
 
@@ -444,7 +460,7 @@ def _make_camera_staged(spec: ProblemSpec, bspec: BucketSpec):
             i0 = jnp.clip(
                 jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32),
                 0,
-                sp.n - 4,
+                _spline_n_eval(runtime, si, sp) - 4,
             )
             u = s - i0.astype(s.dtype)
             sub = jax.lax.dynamic_slice(
@@ -616,7 +632,7 @@ def _fused_camera_inputs(spec, bspec, runtime, state, data):
             s = (t - t0) / dt
             i0 = jnp.clip(
                 jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32),
-                0, sp.n - 4,
+                0, _spline_n_eval(runtime, si, sp) - 4,
             )
             u = s - i0.astype(s.dtype)
             win = ev.gather_windows(state[sp.kind], i0)  # [M, 4, D]
@@ -729,6 +745,145 @@ def _camera_rows_fused(spec, bspec, runtime, state, data, split_rho):
     return r, J, cols
 
 
+def _fused_newton_enabled(spec, bspec):
+    """Whether the fused Newton kernel covers this bucket: rs_newton rows
+    over SE3 or split splines (ops/linearize_kernels.py Newton section)."""
+    from ..ops import linearize_kernels as lk
+
+    if lk.LINEARIZE == "off" or bspec.kind != "rs_newton":
+        return False
+    kinds = tuple(sp.kind for sp in spec.splines)
+    if kinds != ("se3",) and sorted(kinds) != ["r3", "so3"]:
+        return False
+    if lk.LINEARIZE in ("pallas", "xla"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fused_newton_inputs(spec, bspec, runtime, state, data):
+    """Gather/transpose stage for the fused Newton kernel: W-knot
+    readout-slack windows per tag (the Newton time moves within the
+    readout), obs u relative to the FRAME START (the kernel adds the
+    per-iteration row time)."""
+    dtype = runtime["mask"].dtype
+    M = data["t0_ref"].shape[0]
+    d = state["d"][data["sid"]]
+    row_delta = data["readout"] / data["rows"]
+    t_ref = data["t0_ref"] + d + data["v_ref"] * row_delta
+    t_base_ref = data["t0_ref"] + d
+    t_base_obs = data["t0_obs"] + d
+
+    kinds = tuple(sp.kind for sp in spec.splines)
+    se3 = kinds == ("se3",)
+    ins = {}
+    i0s = {"ref": [], "obs": []}
+    Ct = 0
+    for si, sp in enumerate(spec.splines):
+        W = bspec.windows[si]
+        Ct += W * _TANGENT_DIMS[sp.kind]
+        t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
+        D = state[sp.kind].shape[1]
+        for tag, t_row, t_base in (
+            ("ref", t_ref, t_base_ref), ("obs", t_base_obs, t_base_obs)
+        ):
+            i0 = jnp.clip(
+                jnp.floor(
+                    jax.lax.stop_gradient((t_base - t0) / dt)
+                ).astype(jnp.int32),
+                0, _spline_n_eval(runtime, si, sp) - W,
+            )
+            u = (t_row - t0) / dt - i0.astype(dtype)
+            idx = i0[:, None] + jnp.arange(W, dtype=i0.dtype)
+            win = jnp.take(state[sp.kind], idx, axis=0, mode="clip")
+            i0s[tag].append(i0)
+            if se3:
+                ins[f"win_{tag}"] = win.reshape(M, W * D).T
+                ins[f"u_{tag}"] = u[None, :]
+            else:
+                suffix = "_so3" if sp.kind == "so3" else "_r3"
+                ins[f"win_{tag}{suffix}"] = win.reshape(M, W * D).T
+                key = f"u_{tag}" + ("_so3" if sp.kind == "so3" else "")
+                ins[key] = u[None, :]
+    if se3:
+        ins["dts"] = jnp.broadcast_to(
+            jnp.asarray(runtime["spline_dt"][0], dtype), (1, M)
+        )
+    else:
+        r3_i = kinds.index("r3")
+        so3_i = kinds.index("so3")
+        ins["dts"] = jnp.stack(
+            [
+                jnp.broadcast_to(jnp.asarray(runtime["spline_dt"][r3_i], dtype), (M,)),
+                jnp.broadcast_to(jnp.asarray(runtime["spline_dt"][so3_i], dtype), (M,)),
+            ]
+        )
+
+    ins["q_ct"] = state["q_ct"][data["sid"]].T
+    ins["p_ct"] = state["p_ct"][data["sid"]].T
+    ins["rho"] = state["rho"][data["lid"]][None, :]
+    ins["yh_ref"] = data["yh_ref"].T
+    ins["uv_obs"] = data["uv_obs"].T
+    ins["weight"] = data["weight"][None, :]
+    ins["K"] = data["K"].reshape(M, 9).T
+    if bspec.camera == "AtanCamera":
+        ins["wc"] = data["wc"].T
+        ins["gamma"] = data["gamma"][None, :]
+    ins["v_obs"] = data["v_obs"][None, :]
+    ins["rows"] = data["rows"][None, :]
+    ins["readout"] = data["readout"][None, :]
+    if "valid" in data:
+        ins["valid"] = data["valid"][None, :]
+
+    cfg = dict(
+        kind="se3" if se3 else "split",
+        r3_first=bool(not se3 and kinds[0] == "r3"),
+        camera=bspec.camera,
+        rdim=bspec.rdim,
+        Ct=Ct,
+        C=2 * Ct + SENSOR_TANGENT_DIM,
+        Ws=tuple(bspec.windows),
+    )
+    return ins, cfg, i0s
+
+
+def _newton_rows_fused(spec, bspec, runtime, state, data, split_rho,
+                       cost_only=False):
+    """Fused Newton rows -> (r, J, cols[, J_rho]) matching the vmapped
+    jacfwd path's layout (_flatten_blocks order: windows, sensor, rho)."""
+    from ..ops import linearize_kernels as lk
+
+    ins, cfg, i0s = _fused_newton_inputs(spec, bspec, runtime, state, data)
+    backend = "xla" if lk.LINEARIZE == "xla" else "auto"
+    if cost_only:
+        return lk.newton_rows(cfg, ins, cost_only=True, backend=backend)
+    r, J, J_rho = lk.newton_rows(cfg, ins, backend=backend)
+
+    cols = []
+    for tag in ("ref", "obs"):
+        for si, sp in enumerate(spec.splines):
+            td = _TANGENT_DIMS[sp.kind]
+            W = bspec.windows[si]
+            cols.append(
+                sp.tangent_offset
+                + i0s[tag][si][:, None] * td
+                + jnp.arange(W * td, dtype=jnp.int32)[None, :]
+            )
+    cols.append(
+        spec.sensor_offset
+        + data["sid"][:, None] * SENSOR_TANGENT_DIM
+        + jnp.arange(SENSOR_TANGENT_DIM, dtype=jnp.int32)[None, :]
+    )
+    if not split_rho:
+        J = jnp.concatenate([J, J_rho[..., None]], axis=-1)
+        cols.append(
+            (spec.landmark_offset + data["lid"]).astype(jnp.int32)[:, None]
+        )
+    cols = jnp.concatenate(cols, axis=1)
+    if split_rho:
+        return r, J, cols, J_rho
+    return r, J, cols
+
+
 def _fused_imu_enabled(spec, bspec):
     """Whether the fused IMU kernel covers this bucket: gyro/accel rows
     over ('so3',) or split ('r3','so3') splines with plain 4-knot windows."""
@@ -764,7 +919,8 @@ def _imu_rows_fused(spec, bspec, runtime, state, data, cost_only):
         t0, dt = runtime["spline_t0"][si], runtime["spline_dt"][si]
         s = (te - t0) / dt
         i0 = jnp.clip(
-            jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32), 0, sp.n - 4
+            jnp.floor(jax.lax.stop_gradient(s)).astype(jnp.int32),
+            0, _spline_n_eval(runtime, si, sp) - 4,
         )
         u = s - i0.astype(s.dtype)
         win = ev.gather_windows(state[sp.kind], i0)
@@ -873,6 +1029,11 @@ def _bucket_terms(spec, bspec, residual, flags, runtime, state, data, with_jac,
                 spec, bspec, runtime, state, data, split_rho
             )
         return _camera_rows_cost_fused(spec, bspec, runtime, state, data)
+    if _fused_newton_enabled(spec, bspec):
+        return _newton_rows_fused(
+            spec, bspec, runtime, state, data, split_rho,
+            cost_only=not with_jac,
+        )
     if _fused_imu_enabled(spec, bspec):
         return _imu_rows_fused(
             spec, bspec, runtime, state, data, cost_only=not with_jac

@@ -126,3 +126,56 @@ def test_requires_locked_offsets():
     problem.mask = problem.mask.at[problem.sensor_offset + 6].set(1.0)
     with pytest.raises(ValueError, match="locked time offsets"):
         segment_ba_layout(problem, 4)
+
+
+def test_newton_rows_admitted_and_match_single_chip():
+    """rs_newton buckets ride the composed sharding (VERDICT r3 #4).
+
+    The n=2-sharded banded step must equal the n=1 banded step exactly
+    (both exact direct solves of the same damped system); against the
+    single-chip iterative-Schur step, scalars (cost/new_cost/pred) must
+    agree — the state comparison vs PCG is loose because this small
+    problem's terminal knot is weakly determined (readout-slack support
+    only), a near-null direction where a 1e-12-tol PCG and a direct
+    factorization legitimately differ."""
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import make_rsvi_problem
+
+    prob = make_rsvi_problem(
+        nviews=8, nlandmarks=12, imu_rate=40.0, seed=21, rs="newton",
+        perturb_rho=0.03, sigma_p=0.01, sigma_q=0.005, noise_px=0.5,
+        trajectory="split",
+    )
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    state0 = problem.state0
+
+    istep, _ = make_iterative_step(problem, cg_tol=1e-12, cg_maxiter=400)
+    ref = istep(state0, 1e-4)
+
+    outs = {}
+    for n in (1, 2):
+        mesh = parallel.default_mesh(n_devices=n)
+        step, cost_fn = make_segment_ba_step(
+            problem, mesh, cg_tol=1e-12, cg_maxiter=400, mode="banded"
+        )
+        out = step(state0, 1e-4)
+        outs[n] = out
+        assert abs(float(out[0]) - float(ref[0])) <= 1e-9 * float(ref[0])
+        assert abs(float(out[2]) - float(ref[2])) <= 1e-6 * max(
+            float(ref[2]), 1e-12
+        )
+        assert abs(float(out[3]) - float(ref[3])) <= 1e-6 * abs(float(ref[3]))
+        assert abs(float(cost_fn(state0)) - float(ref[0])) <= 1e-9 * float(ref[0])
+        for k in ("r3", "so3", "rho"):
+            np.testing.assert_allclose(
+                np.asarray(out[1][k]), np.asarray(ref[1][k]), atol=2e-4,
+                err_msg=k,
+            )
+    # n=1 vs n=2 parity (same direct solve, sharded execution; the weak
+    # terminal-knot direction amplifies assembly-order rounding by the
+    # condition number, so ~1e-8 not 1e-12)
+    for k in ("r3", "so3", "rho"):
+        np.testing.assert_allclose(
+            np.asarray(outs[1][1][k]), np.asarray(outs[2][1][k]), atol=1e-7,
+            err_msg=f"sharded {k}",
+        )
