@@ -157,8 +157,9 @@ def segment_ba_layout(problem, n_shards):
     G = max(max_dpos + max_dneg + W_max, 2)
     seen_lm = lm_hi >= 0
     if seen_lm.any():
-        # span <= G + 1 guarantees the two-superblock property for any
-        # anchor offset; widen G by the observed per-landmark ref spread
+        # span <= G guarantees the two-superblock property for any
+        # anchor offset (enforced by the assert below); widen G by the
+        # observed per-landmark ref spread
         span = lm_hi[seen_lm] - lm_lo[seen_lm] + W_max
         G = max(G, int(span.max()))
         assert (

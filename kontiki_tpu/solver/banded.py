@@ -57,9 +57,10 @@ def block_tridiag_solve(D, U, rhs, method="auto"):
 
     ``method``: "scan" = sequential block Cholesky (two lax.scans — exact
     and cheapest in flops, but nb dependent steps); "pcr" = parallel
-    cyclic reduction (log2(nb) batched levels — the TPU-native choice at
-    scale, where the scan is pure per-step latency); "auto" picks pcr on
-    TPU for nb >= 32, scan otherwise.
+    cyclic reduction (log2(nb) batched levels — useful where per-step
+    scan latency dominates: tiny d, huge nb); "auto" resolves from the
+    KONTIKI_BAND_SOLVE env var (default "scan"; set to "pcr" to opt in —
+    no shape-based selection, see the measured note below).
 
     Block Cholesky T = L L^T with L_kk = C_k, L_{k+1,k} = B_k:
         C_0 C_0^T = D_0;  B_k = (C_k^{-1} U_k)^T;
