@@ -40,10 +40,10 @@ MAX_ITERS = {"config1": 25, "config2": 25, "config3": 25, "config4": 25,
              "config4_newton": 25, "config5": 6}
 
 
-def _build_solver(name):
-    """Build (solver_fn, state0) for one BASELINE config."""
-    from kontiki_tpu import parallel
-    from kontiki_tpu.solver.lm import make_fused_solver
+def _build_problem(name):
+    """(problem, strategy) for one BASELINE config. strategy is the linear
+    solver kind make_fused_solver expects; 'segment_ba' marks the composed
+    sharded config-5 path."""
     from kontiki_tpu.solver.problem import Problem
     from kontiki_tpu.synthetic import (
         make_big_ba_problem,
@@ -52,31 +52,20 @@ def _build_solver(name):
         make_rsvi_problem,
     )
 
-    iters = MAX_ITERS[name]
     if name == "config1":  # gyro-only SO3 spline fit
         prob = make_gyro_problem(duration=5.0, rate=200.0, seed=1)
-        problem = Problem(prob["trajectory"], prob["measurements"])
-        return make_fused_solver(problem, iters, function_tolerance=0.0), problem.state0
+        return Problem(prob["trajectory"], prob["measurements"]), "auto"
     if name == "config2":  # full IMU fusion, split R3/SO3, gravity + bias
         prob = make_imu_problem(duration=5.0, rate=200.0, seed=2)
-        problem = Problem(prob["trajectory"], prob["measurements"])
-        return make_fused_solver(problem, iters, function_tolerance=0.0), problem.state0
+        return Problem(prob["trajectory"], prob["measurements"]), "auto"
     if name == "config3":  # global-shutter SfM, Schur elimination
         prob = make_rsvi_problem(nviews=32, nlandmarks=200, imu_rate=0.0, seed=3)
-        problem = Problem(prob["trajectory"], prob["measurements"])
-        return (
-            make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
-            problem.state0,
-        )
+        return Problem(prob["trajectory"], prob["measurements"]), "schur"
     if name == "config4":  # rolling-shutter VI on the SE3 spline (flagship)
         prob = make_rsvi_problem(
             nviews=64, nlandmarks=200, imu_rate=200.0, seed=4, trajectory="se3"
         )
-        problem = Problem(prob["trajectory"], prob["measurements"])
-        return (
-            make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
-            problem.state0,
-        )
+        return Problem(prob["trajectory"], prob["measurements"]), "schur"
     if name == "config4_newton":
         # flagship problem with NewtonRsCameraMeasurement rows (reference
         # newton_rscamera_measurement.h): exercises the fused Newton
@@ -86,28 +75,40 @@ def _build_solver(name):
             nviews=64, nlandmarks=200, imu_rate=200.0, seed=4,
             rs="newton", trajectory="split"
         )
-        problem = Problem(prob["trajectory"], prob["measurements"])
-        return (
-            make_fused_solver(problem, iters, function_tolerance=0.0, strategy="schur"),
-            problem.state0,
-        )
+        return Problem(prob["trajectory"], prob["measurements"]), "schur"
     if name == "config5":
         # long-sequence BA at the BASELINE-specified scale (10k+ keyframes,
         # 100k+ landmarks): composed knot-segment x landmark-block sharding
         # with the banded-direct reduced solve (exact, scatter-free assembly)
-        from kontiki_tpu.parallel.segments_ba import make_segment_ba_solver
-
         big = make_big_ba_problem(
             n_views=10_000, n_landmarks=100_000, obs_per_landmark=5, seed=5
         )
-        problem = big["problem"]
+        return big["problem"], "segment_ba"
+    raise ValueError(name)
+
+
+def _build_solver(name):
+    """Build (solver_fn, state0) for one BASELINE config."""
+    from kontiki_tpu import parallel
+    from kontiki_tpu.solver.lm import make_fused_solver
+
+    iters = MAX_ITERS[name]
+    problem, strategy = _build_problem(name)
+    if strategy == "segment_ba":
+        from kontiki_tpu.parallel.segments_ba import make_segment_ba_solver
+
         mesh = parallel.default_mesh(n_devices=1)
         solver = make_segment_ba_solver(
             problem, mesh, max_iterations=iters, function_tolerance=0.0,
             mode="banded",
         )
         return solver, problem.state0
-    raise ValueError(name)
+    return (
+        make_fused_solver(
+            problem, iters, function_tolerance=0.0, strategy=strategy
+        ),
+        problem.state0,
+    )
 
 
 #: timing repetitions per config: the small configs are latency-bound on
@@ -144,6 +145,10 @@ def measure_all(force_cpu=False):
     sys.path.insert(0, str(HERE))
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/kontiki_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     if force_cpu:
         # Env vars are not enough: this image pre-targets a remote-TPU
         # platform at import time, so retarget the runtime explicitly.
@@ -159,6 +164,130 @@ def measure_all(force_cpu=False):
         results[name] = round(its, 4)
         spreads[name] = spread
     return results, spreads, jax.default_backend()
+
+
+# --- hardware-utilization / roofline accounting (VERDICT r4 #1) -------------
+#
+# Peaks used for the denominators, with their provenance:
+# * V5E_PEAK_MXU: 197e12 FLOP/s — the public TPU v5e bf16 matmul peak
+#   (jax-ml.github.io/scaling-book hardware table). Our f32 matmuls run
+#   with JAX's default TPU matmul precision, which executes on the MXU via
+#   bf16 passes, so this is the relevant matmul ceiling.
+# * V5E_HBM_BPS: 819e9 B/s — public v5e HBM bandwidth (same source).
+# * V5E_PEAK_VPU: 6.1e12 FLOP/s — NOT published; derived estimate:
+#   8x128 VPU lanes x 4 ALUs x ~1.5 GHz clock (clock inferred from the
+#   bf16 peak: 197e12 / (4 MXUs x 2 x 128^2) = 1.47e9). Treat as +-2x.
+#
+# XLA's cost analysis reports aggregate 'flops' and 'bytes accessed' for
+# the compiled program; it cannot split MXU-eligible matmul FLOPs from
+# VPU elementwise FLOPs, so we report utilization against BOTH peaks —
+# the true compute ceiling for a mixed program lies between them — plus
+# the HBM roofline, which is unit-independent. pct_roofline compares the
+# measured per-iteration time against the roofline bound
+# max(flops/MXU_peak, bytes/HBM_BW): the fraction of speed-of-light the
+# program achieves under the most optimistic (all-MXU) compute model.
+
+V5E_PEAK_MXU = 197e12
+V5E_PEAK_VPU = 6.1e12
+V5E_HBM_BPS = 819e9
+
+
+def _roofline_step(name):
+    """One-LM-iteration jitted fn + example args for a config."""
+    import jax
+    import jax.numpy as jnp
+
+    problem, strategy = _build_problem(name)
+    lam = jnp.asarray(1e-4, problem.mask.dtype)
+    if strategy == "segment_ba":
+        from kontiki_tpu import parallel
+        from kontiki_tpu.parallel.segments_ba import make_segment_ba_step
+
+        mesh = parallel.default_mesh(n_devices=1)
+        step, _ = make_segment_ba_step(problem, mesh, mode="banded")
+    else:
+        from kontiki_tpu.solver.lm import _make_step
+
+        step, _ = _make_step(problem, strategy)
+    return jax.jit(lambda s, l: step(s, l)), (problem.state0, lam), problem
+
+
+def _cost_entry(fn, args, seconds):
+    """cost-analysis + roofline numbers for a compiled call taking
+    ``seconds`` per execution."""
+    ca = fn.lower(*args).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    achieved = flops / seconds
+    bound_s = max(flops / V5E_PEAK_MXU, byts / V5E_HBM_BPS)
+    return {
+        "gflop": round(flops / 1e9, 3),
+        "mbytes": round(byts / 1e6, 3),
+        "ai_flop_per_byte": round(flops / max(byts, 1.0), 2),
+        "measured_s": round(seconds, 6),
+        "achieved_gflops": round(achieved / 1e9, 2),
+        "mfu_mxu_peak": round(achieved / V5E_PEAK_MXU, 5),
+        "pct_vpu_peak": round(achieved / V5E_PEAK_VPU, 4),
+        "hbm_util": round(byts / seconds / V5E_HBM_BPS, 4),
+        "pct_roofline": round(bound_s / seconds, 4),
+        # XLA's own cost-model estimate; negative means "unavailable"
+        **(
+            {"xla_optimal_s": float(ca["optimal_seconds"])}
+            if float(ca.get("optimal_seconds", -1.0)) > 0
+            else {}
+        ),
+    }
+
+
+def measure_roofline(results):
+    """FLOP/byte accounting per config (one LM iteration) + the two
+    flagship kernels (fused static / Newton camera linearizers at
+    flagship scale), against the v5e roofline."""
+    import statistics
+
+    import jax
+
+    out = {}
+    for name, its in results.items():
+        if not isinstance(its, (int, float)) or not its:
+            continue
+        try:
+            fn, args, _ = _roofline_step(name)
+            out[name] = _cost_entry(fn, args, 1.0 / its)
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # flagship kernels: the fused camera linearization (the dominant
+    # per-iteration stage), timed standalone at bench scale through the
+    # exact path the bench solver uses (schur-split linearize)
+    from kontiki_tpu.solver.kernels import problem_runtime, problem_spec
+    from kontiki_tpu.solver.schur import build_schur_parts
+
+    for kname, cfg in (
+        ("kernel_linearize_static", "config4"),
+        ("kernel_linearize_newton", "config4_newton"),
+    ):
+        try:
+            problem, _ = _build_problem(cfg)
+            spec = problem_spec(problem)
+            parts = build_schur_parts(spec, jax.config.jax_enable_x64)
+            runtime = problem_runtime(problem)
+            lin = jax.jit(parts["linearize"])
+            out_ = lin(runtime, problem.state0)
+            jax.block_until_ready(out_)
+            samples = []
+            for _ in range(7):
+                t0 = time.perf_counter()
+                out_ = lin(runtime, problem.state0)
+                jax.block_until_ready(out_)
+                samples.append(time.perf_counter() - t0)
+            sec = statistics.median(samples)
+            out[kname] = _cost_entry(lin, (runtime, problem.state0), sec)
+        except Exception as e:
+            out[kname] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
 
 
 def measure_scipy_config1():
@@ -204,6 +333,113 @@ def measure_scipy_config1():
     t0_ = time.perf_counter()
     res = least_squares(
         fun, x0, jac_sparsity=S.tocsr(), method="trf",
+        xtol=1e-12, ftol=1e-12, gtol=1e-10,
+    )
+    dt_ = time.perf_counter() - t0_
+    return {
+        "seconds": round(dt_, 2),
+        "iterations": int(res.njev),
+        "it_per_sec": round(res.njev / dt_, 3),
+        "cost": float(res.cost),
+    }
+
+
+def measure_scipy_config3():
+    """Implementation-independent CPU timing anchor for config 3
+    (VERDICT r4 next-round #4): scipy least_squares (TRF, grouped sparse
+    finite differences via jac_sparsity, Huber loss, rho >= 0 bounds) on
+    the exact bench config-3 problem — the global-shutter SfM residuals
+    replicated in vectorized numpy. Gives the 379x TPU/CPU claim a
+    denominator that shares no code with this framework's solver."""
+    import numpy as np
+    from scipy.optimize import least_squares
+    from scipy.sparse import lil_matrix
+
+    from kontiki_tpu.rotations import quat_to_rotation_matrix
+    from kontiki_tpu.synthetic import make_rsvi_problem
+    from kontiki_tpu.trajectories import SplitTrajectory
+
+    prob = make_rsvi_problem(nviews=32, nlandmarks=200, imu_rate=0.0, seed=3)
+    traj, ms = prob["trajectory"], prob["measurements"]
+    cam, landmarks = prob["camera"], prob["landmarks"]
+    assert isinstance(traj, SplitTrajectory)
+    r3, so3 = traj.R3_spline, traj.SO3_spline
+    n3, n4 = len(r3), len(so3)
+    nk = 3 * n3 + 4 * n4
+    lm_index = {id(lm): i for i, lm in enumerate(landmarks)}
+    L = len(landmarks)
+    huber_c = ms[0].huber_loss
+
+    d = cam.time_offset
+    row_delta = cam.readout / cam.rows
+    q_ct, p_ct = cam.relative_pose
+    R_ct = quat_to_rotation_matrix(q_ct)
+    refs = [m.observation.landmark.reference for m in ms]
+    li = np.array([lm_index[id(m.observation.landmark)] for m in ms])
+    t_ref = np.array([r.view.t0 + d + r.v * row_delta for r in refs])
+    t_obs = np.array(
+        [m.observation.view.t0 + d + m.observation.v * row_delta for m in ms]
+    )
+    yh_ref = np.stack([cam.unproject(r.uv) for r in refs])
+    uv_obs = np.stack([m.observation.uv for m in ms])
+    w_m = np.array([m.weight for m in ms])
+    K = np.asarray(cam.camera_matrix)
+    R = len(ms)
+
+    def _rotmats(q):
+        """Batched unit-quaternion (wxyz) -> rotation matrices."""
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        return np.stack([
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ], axis=-1).reshape(-1, 3, 3)
+
+    def fun(x):
+        k3 = x[: 3 * n3].reshape(n3, 3)
+        q4 = x[3 * n3: nk].reshape(n4, 4)
+        q4 = q4 / np.linalg.norm(q4, axis=1, keepdims=True)
+        for i in range(n3):
+            r3[i] = k3[i]
+        for i in range(n4):
+            so3[i] = q4[i]
+        rho = x[nk:][li]
+        er = traj._eval(t_ref)
+        eo = traj._eval(t_obs)
+        Rr = _rotmats(np.asarray(er["orientation"]))
+        Ro = _rotmats(np.asarray(eo["orientation"]))
+        p_r = np.asarray(er["position"])
+        p_o = np.asarray(eo["position"])
+        X_ref = (yh_ref - rho[:, None] * p_ct) @ R_ct  # row-vector x R = R^T x
+        X = np.einsum("rij,rj->ri", Rr, X_ref) + rho[:, None] * p_r
+        X_obs = np.einsum("rji,rj->ri", Ro, X - rho[:, None] * p_o)
+        X_cam = X_obs @ R_ct.T + rho[:, None] * p_ct
+        Xh = X_cam @ K.T
+        y_hat = Xh[:, :2] / Xh[:, 2:3]
+        return (w_m[:, None] * (uv_obs - y_hat)).ravel()
+
+    x0 = np.concatenate([
+        np.concatenate([np.asarray(r3[i]) for i in range(n3)]),
+        np.concatenate([np.asarray(so3[i]) for i in range(n4)]),
+        [lm.inverse_depth for lm in landmarks],
+    ])
+    # column sparsity: each row touches the 4-knot windows of both
+    # splines at t_ref and t_obs, plus its landmark's rho
+    S = lil_matrix((2 * R, x0.size), dtype=np.int8)
+    for r in range(R):
+        for t in (t_ref[r], t_obs[r]):
+            i3 = int(np.clip(np.floor((t - r3.t0) / r3.dt), 0, n3 - 4))
+            i4 = int(np.clip(np.floor((t - so3.t0) / so3.dt), 0, n4 - 4))
+            S[2 * r: 2 * r + 2, 3 * i3: 3 * i3 + 12] = 1
+            S[2 * r: 2 * r + 2, 3 * n3 + 4 * i4: 3 * n3 + 4 * i4 + 16] = 1
+        S[2 * r: 2 * r + 2, nk + li[r]] = 1
+    lb = np.full_like(x0, -np.inf)
+    ub = np.full_like(x0, np.inf)
+    lb[nk:] = 0.0
+    t0_ = time.perf_counter()
+    res = least_squares(
+        fun, x0, jac_sparsity=S.tocsr(), method="trf", loss="huber",
+        f_scale=huber_c, bounds=(lb, ub),
         xtol=1e-12, ftol=1e-12, gtol=1e-10,
     )
     dt_ = time.perf_counter() - t0_
@@ -281,13 +517,145 @@ def measure_sharding_efficiency(repeats=9):
     }
 
 
+def _comm_share(run, tag):
+    """Fraction of device-op time spent in collectives for one execution
+    of ``run()``, from a jax.profiler trace (CPU backend: XLA thunk events;
+    scheduler/listener threads are excluded). Returns None if the trace
+    can't be parsed."""
+    import glob
+    import gzip
+    import json as _json
+    import tempfile
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory(prefix=f"kt_trace_{tag}") as td:
+            with jax.profiler.trace(td):
+                jax.block_until_ready(run())
+            paths = glob.glob(
+                td + "/**/*.trace.json.gz", recursive=True
+            )
+            if not paths:
+                return None
+            with gzip.open(paths[0], "rt") as f:
+                ev = _json.load(f).get("traceEvents", [])
+        tot = 0.0
+        comm = 0.0
+        COLL = ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")
+        for e in ev:
+            if e.get("ph") != "X":
+                continue
+            name = e.get("name", "").lower()
+            if ("threadpoollistener" in name or "thunkexecutor" in name
+                    or not e.get("dur")):
+                continue
+            tot += e["dur"]
+            if any(c in name for c in COLL):
+                comm += e["dur"]
+        return round(comm / tot, 4) if tot else None
+    except Exception:
+        return None
+
+
+def measure_weak_scaling(repeats=5):
+    """Weak-scaling curve (VERDICT r4 next-round #5): per-device work held
+    fixed while n grows through {1, 2, 4, 8} virtual CPU devices.
+
+    The 8 virtual devices share one host's cores, so raw t(n) grows with
+    total work regardless of the sharding quality; the meaningful number
+    — same normalization as the r4 single-point probe, now a curve — is
+    ``efficiency(n) = t_1dev(W_n) / t_ndev(W_n)``: the same total
+    problem run unsharded on one device vs sharded over n. Ideal 1.0 at
+    every n; the deviation is collective + padding + partitioning
+    overhead at that scale. Collective share of device-op time is
+    measured from a profiler trace at each n."""
+    import statistics
+
+    import jax
+    from kontiki_tpu import parallel
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import make_big_ba_problem, make_gyro_problem
+
+    def _median_time(solver, state):
+        out = solver(state)
+        jax.block_until_ready(out)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = solver(state)
+            jax.block_until_ready(out)
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples)
+
+    def curve(build_problem, build_solver):
+        rows = {}
+        for n in (1, 2, 4, 8):
+            problem = build_problem(n)
+            s_1 = build_solver(problem, 1)
+            t1 = _median_time(s_1, problem.state0)
+            s_n = build_solver(problem, n) if n > 1 else s_1
+            tn = _median_time(s_n, problem.state0) if n > 1 else t1
+            share = _comm_share(lambda: s_n(problem.state0), f"n{n}")
+            rows[n] = {
+                "t_1dev_s": round(t1, 4),
+                "t_ndev_s": round(tn, 4),
+                "efficiency": round(t1 / tn, 3),
+                "comm_share": share,
+            }
+        return rows
+
+    def gyro_problem(n):
+        gy = make_gyro_problem(duration=4.0 * n, rate=400.0, seed=7)
+        return Problem(gy["trajectory"], gy["measurements"])
+
+    def seg_solver(problem, n):
+        return parallel.make_segment_sharded_solver(
+            problem, parallel.default_mesh(n_devices=n), max_iterations=6,
+            function_tolerance=0.0,
+        )
+
+    def ba_problem(n):
+        return make_big_ba_problem(
+            n_views=40 * n, n_landmarks=600 * n, obs_per_landmark=4,
+            seed=7,
+        )["problem"]
+
+    def iter_solver(problem, n):
+        return parallel.make_sharded_iterative_solver(
+            problem, parallel.default_mesh(n_devices=n), max_iterations=6,
+            function_tolerance=0.0, cg_tol=1e-4, cg_maxiter=40,
+        )
+
+    def segba_solver(problem, n):
+        from kontiki_tpu.parallel.segments_ba import make_segment_ba_solver
+
+        return make_segment_ba_solver(
+            problem, parallel.default_mesh(n_devices=n), max_iterations=6,
+            function_tolerance=0.0, mode="banded",
+        )
+
+    out = {}
+    for name, bp, bs in (
+        ("segments", gyro_problem, seg_solver),
+        ("iterative", ba_problem, iter_solver),
+        ("segment_ba", ba_problem, segba_solver),
+    ):
+        try:
+            out[name] = curve(bp, bs)
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
+
+
 def main():
     if os.environ.get("_KONTIKI_BENCH_CHILD") == "cpu":
         results, spreads, backend = measure_all(force_cpu=True)
         assert backend == "cpu", backend
         print(json.dumps({"cpu": results, "cpu_spreads": spreads}))
         return
-    if os.environ.get("_KONTIKI_BENCH_CHILD") == "scipy":
+    if os.environ.get("_KONTIKI_BENCH_CHILD") in ("scipy", "scipy3"):
         os.environ.setdefault("KONTIKI_TPU_X64", "0")
         sys.path.insert(0, str(HERE))
         import jax
@@ -296,7 +664,10 @@ def main():
         import jax.extend.backend as _jeb
 
         _jeb.clear_backends()
-        print(json.dumps({"scipy": measure_scipy_config1()}))
+        if os.environ["_KONTIKI_BENCH_CHILD"] == "scipy3":
+            print(json.dumps({"scipy3": measure_scipy_config3()}))
+        else:
+            print(json.dumps({"scipy": measure_scipy_config1()}))
         return
     if os.environ.get("_KONTIKI_BENCH_CHILD") == "mesh":
         os.environ.setdefault("KONTIKI_TPU_X64", "0")
@@ -312,7 +683,15 @@ def main():
         import jax.extend.backend as _jeb
 
         _jeb.clear_backends()
-        print(json.dumps({"eff": measure_sharding_efficiency()}))
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/kontiki_tpu_jax_cache"
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        if os.environ.get("_KONTIKI_BENCH_KIND") == "weakscale":
+            print(json.dumps({"weak": measure_weak_scaling()}))
+        else:
+            print(json.dumps({"eff": measure_sharding_efficiency()}))
         return
 
     results, spreads, backend = measure_all()
@@ -321,8 +700,16 @@ def main():
             its, spread = _measure("config4_newton")
             results["config4_newton"] = round(its, 4)
             spreads["config4_newton"] = spread
-        except Exception:
-            pass
+        except Exception as e:  # surface the regression, don't drop the line
+            results["config4_newton"] = None
+            results["config4_newton_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    roofline = None
+    if backend == "tpu":
+        try:
+            roofline = measure_roofline(results)
+        except Exception as e:
+            roofline = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     baselines = None
     if CACHE.exists():
@@ -333,10 +720,12 @@ def main():
         except Exception:
             baselines = None
 
-    def _child(kind, timeout):
+    def _child(kind, timeout, extra_env=None):
         env = dict(os.environ)
         env["_KONTIKI_BENCH_CHILD"] = kind
         env["KONTIKI_TPU_X64"] = "0"
+        if extra_env:
+            env.update(extra_env)
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True,
             text=True, timeout=timeout,
@@ -344,9 +733,12 @@ def main():
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     scipy_ref = None
+    scipy3_ref = None
     if CACHE.exists():
         try:
-            scipy_ref = json.loads(CACHE.read_text()).get("scipy_config1")
+            data = json.loads(CACHE.read_text())
+            scipy_ref = data.get("scipy_config1")
+            scipy3_ref = data.get("scipy_config3")
         except Exception:
             scipy_ref = None
     if baselines is None:
@@ -363,11 +755,25 @@ def main():
             CACHE.write_text(json.dumps(data))
         except Exception:
             scipy_ref = None
+    if scipy3_ref is None:
+        try:
+            scipy3_ref = _child("scipy3", 2400)["scipy3"]
+            data = json.loads(CACHE.read_text()) if CACHE.exists() else {}
+            data["scipy_config3"] = scipy3_ref
+            CACHE.write_text(json.dumps(data))
+        except Exception:
+            scipy3_ref = None
 
     try:
         eff = _child("mesh", 1800)["eff"]
     except Exception:
         eff = None
+    try:
+        weak = _child(
+            "mesh", 3000, {"_KONTIKI_BENCH_KIND": "weakscale"}
+        )["weak"]
+    except Exception:
+        weak = None
 
     value = results["config4"]
     base4 = baselines.get("config4") if baselines else None
@@ -383,7 +789,10 @@ def main():
                 "cpu_baseline_configs": baselines,
                 "backend": backend,
                 "scipy_cpu_config1": scipy_ref,
+                "scipy_cpu_config3": scipy3_ref,
                 "sharding_efficiency_cpu8": eff,
+                "weak_scaling_cpu": weak,
+                "roofline": roofline,
             }
         )
     )

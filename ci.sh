@@ -22,8 +22,8 @@ python -m pytest tests/test_estimator.py tests/test_lm_semantics.py \
 python -m pytest tests/test_assembly_kernel.py \
     tests/test_pallas_ops.py tests/test_linearize_kernel.py -q "$@"
 python -m pytest tests/test_schur.py tests/test_banded.py \
-    tests/test_iterative.py tests/test_ate.py \
-    tests/test_residual_parity.py -q "$@"
+    tests/test_iterative.py -q "$@"
+python -m pytest tests/test_ate.py tests/test_residual_parity.py -q "$@"
 python -m pytest tests/test_f32_tier.py tests/test_external_oracle.py -q "$@"
 python -m pytest tests/test_parallel.py tests/test_segments.py \
     tests/test_segments_ba.py tests/test_distributed.py -q "$@"

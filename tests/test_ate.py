@@ -9,6 +9,7 @@ for gyro-only, sim3 for pure vision, se3 for visual-inertial)."""
 import numpy as np
 import pytest
 
+from kontiki_tpu.solver.kkt import kkt_residual
 from kontiki_tpu.solver.lm import solve
 from kontiki_tpu.solver.problem import Problem
 from kontiki_tpu.synthetic import (
@@ -20,9 +21,22 @@ from kontiki_tpu.synthetic import (
 )
 
 
-def _solve_and_write_back(prob, **kwargs):
+def _solve_and_write_back(prob, kkt_ratio=1e-9, **kwargs):
+    """Solve and gate on the bounds-aware KKT residual (VERDICT r4 #3b).
+
+    Every ATE test additionally asserts that the solver terminated at a
+    first-order stationary point: the projected gradient must shrink by
+    ``kkt_ratio`` relative to the initial gradient. Noise-free problems
+    reach machine zero (measured ratios 1e-15..1e-14, so 1e-9 has 5-6
+    orders of margin); noisy problems terminate on function tolerance in
+    a flat valley and get a looser per-test ratio. A wrong stationary
+    point (mis-assembled Hessian column, wrong solve) fails this check
+    even when the ATE of the broken solution happens to look plausible."""
     problem = Problem(prob["trajectory"], prob["measurements"])
+    kkt0 = kkt_residual(problem, problem.state0)
     state, summary = solve(problem, **kwargs)
+    kkt = kkt_residual(problem, state)
+    assert kkt <= kkt_ratio * kkt0 + 1e-12, (kkt, kkt0, kkt / kkt0)
     problem.write_back(state)
     return summary
 
@@ -91,7 +105,10 @@ def test_rsvi_with_pixel_noise_ate_reasonable():
         perturb_rho=0.05,
     )
     t1, t2 = prob["views"][0].t0, prob["views"][-1].t0
-    _solve_and_write_back(prob, max_iterations=40)
+    # noisy minimum: LM terminates on function tolerance while crawling a
+    # flat valley — measured KKT ratio 1.8e-3 at these settings; 2e-2
+    # still rejects gross wrongness (a bad gradient leaves ratio O(1))
+    _solve_and_write_back(prob, max_iterations=40, kkt_ratio=2e-2)
     ate = trajectory_ate(
         prob["true_trajectory"], prob["trajectory"], t1, t2, align="se3"
     )

