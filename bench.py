@@ -628,6 +628,19 @@ def measure_weak_scaling(repeats=5):
             function_tolerance=0.0, cg_tol=1e-4, cg_maxiter=40,
         )
 
+    def segba_problem(n):
+        # larger per-device work than the iterative probe: the banded
+        # path's per-shard halo anchor blocks (1-2 superblocks each side)
+        # are fixed overhead, so at the SPIKE minimum of 2 interior
+        # superblocks per shard they double the assembly work
+        # (efficiency ~0.5); config-5 scale runs ~35 interior superblocks
+        # per shard at n=8. This probe sizes per-device work so the halo
+        # share is representative (~8 interior superblocks per shard).
+        return make_big_ba_problem(
+            n_views=160 * n, n_landmarks=1500 * n, obs_per_landmark=4,
+            seed=7,
+        )["problem"]
+
     def segba_solver(problem, n):
         from kontiki_tpu.parallel.segments_ba import make_segment_ba_solver
 
@@ -640,7 +653,7 @@ def measure_weak_scaling(repeats=5):
     for name, bp, bs in (
         ("segments", gyro_problem, seg_solver),
         ("iterative", ba_problem, iter_solver),
-        ("segment_ba", ba_problem, segba_solver),
+        ("segment_ba", segba_problem, segba_solver),
     ):
         try:
             out[name] = curve(bp, bs)

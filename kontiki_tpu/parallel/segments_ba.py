@@ -31,9 +31,15 @@ Preconditioner: damped per-knot [td, td] + per-sensor [13, 13] block-Jacobi
 halo reduce.
 
 Scope: rs_static + rs_newton camera buckets plus single-window
-trajectory/IMU buckets, locked time offsets (static row ownership), all
-splines on one knot grid. rs_lifting falls back to the measurement-sharded
-iterative path (its per-row vt parameters are not landmark-owned).
+trajectory/IMU buckets, all splines on one knot grid. Sensor time offsets
+may be locked OR unlocked: row ownership and anchors are static (computed
+from the lower bound of each row's window-base range) while halos and
+superblocks are sized to cover the full -+max_time_offset motion, exactly
+as the reference widens measurement spans
+(gyroscope_measurement.h:84-92); the offset column itself rides the
+psum-reduced global sensor border. rs_lifting falls back to the
+measurement-sharded iterative path (its per-row vt parameters are not
+landmark-owned).
 """
 import math
 
@@ -73,17 +79,34 @@ def segment_ba_layout(problem, n_shards):
     runtime = problem_runtime(problem)
     kinds = [b.kind.split(":")[0] for b in spec.buckets]
     for k in kinds:
-        if k not in _SINGLE_WINDOW + ("rs_static", "rs_newton"):
+        if k not in _SINGLE_WINDOW + ("rs_static", "rs_newton", "rs_lifting"):
             raise ValueError(
-                f"segment BA sharding supports rs_static/rs_newton + "
-                f"trajectory/IMU buckets; got {k}"
+                f"segment BA sharding supports rs_static/rs_newton/"
+                f"rs_lifting + trajectory/IMU buckets; got {k}"
             )
     mask = np.asarray(problem.mask)
     d0 = np.array([s.time_offset if hasattr(s, "time_offset") else 0.0
                    for s in problem.sensors])
-    for i in range(len(problem.sensors)):
-        if mask[problem.sensor_offset + i * SENSOR_TANGENT_DIM + 6] != 0.0:
-            raise ValueError("segment BA sharding requires locked time offsets")
+    S_n = len(problem.sensors)
+    d_unlocked = np.array([
+        mask[problem.sensor_offset + i * SENSOR_TANGENT_DIM + 6] != 0.0
+        for i in range(S_n)
+    ], dtype=bool)
+    d_max_s = np.asarray(problem.d_max).reshape(-1)[: max(S_n, 1)]
+    # Dynamic time-offset range per sensor: the retraction bounds
+    # |d| <= max_time_offset (sensors.h:158-160), so an unlocked offset's
+    # evaluation times range over t -+ d_max regardless of the current d;
+    # a locked offset stays at d0. This is the reference's span widening
+    # (gyroscope_measurement.h:84-92) applied to the static sharded
+    # layout: row ownership and anchors are computed from the LOWER bound
+    # of each row's window-base range, and halos/superblocks are sized to
+    # cover the full range, so the windows may move with d at runtime
+    # without leaving their anchor's two-superblock span.
+    if S_n:
+        t_add_lo = np.where(d_unlocked, -d_max_s[:S_n], d0)
+        t_add_hi = np.where(d_unlocked, d_max_s[:S_n], d0)
+    else:
+        t_add_lo = t_add_hi = d0
     grids = {(sp.n, round(float(problem.splines[i].t0), 12),
               round(float(problem.splines[i].dt), 12))
              for i, sp in enumerate(spec.splines)}
@@ -102,35 +125,48 @@ def segment_ba_layout(problem, n_shards):
     # anchor/halo/rel-id math below bounds the actual column support —
     # row-time-based indices can sit up to ceil(readout/dt) knots RIGHT of
     # the true window base and silently under-anchor.
-    i_refs = []
+    i_refs = []        # LOWER window-base bound: ownership + anchors
     i_obs_list = []
-    max_dpos = 0  # obs window right of ref window (knots)
-    max_dneg = 0
+    i_ref_hi_list = []
+    i_obs_hi_list = []
+    max_dpos = 0  # max rightward column reach beyond the anchor (knots)
+    max_dneg = 0  # max leftward column reach before the anchor (knots)
     for bspec, data in zip(spec.buckets, runtime["data"]):
         d = {k: np.asarray(v) for k, v in data.items()}
         W_b = max(bspec.windows)
-        i_obs = None
-        if bspec.kind.startswith("rs_"):
-            dd = d0[d["sid"]]
-            t_ref = d["t0_ref"] + dd
-            t_obs = d["t0_obs"] + dd
-            i_ref = np.clip(
-                np.floor((t_ref - t0) / dt).astype(np.int64), 0, nk - W_b
-            )
-            i_obs = np.clip(
-                np.floor((t_obs - t0) / dt).astype(np.int64), 0, nk - W_b
-            )
-            delta = i_obs - i_ref
-            if len(delta):
-                max_dpos = max(max_dpos, int(delta.max()))
-                max_dneg = max(max_dneg, int(-delta.min()))
-        else:
-            t = d["t"] + (d0[d["sid"]] if "sid" in d else 0.0)
-            i_ref = np.clip(
+
+        def _idx(t):
+            return np.clip(
                 np.floor((t - t0) / dt).astype(np.int64), 0, nk - W_b
             )
+
+        i_obs = i_obs_hi = None
+        if bspec.kind.startswith("rs_"):
+            lo_add = t_add_lo[d["sid"]]
+            hi_add = t_add_hi[d["sid"]]
+            i_ref = _idx(d["t0_ref"] + lo_add)
+            i_ref_hi = _idx(d["t0_ref"] + hi_add)
+            i_obs = _idx(d["t0_obs"] + lo_add)
+            i_obs_hi = _idx(d["t0_obs"] + hi_add)
+            if len(i_ref):
+                right = np.maximum(i_obs_hi, i_ref_hi) - i_ref
+                left = np.maximum(i_ref - i_obs, 0)
+                max_dpos = max(max_dpos, int(right.max()))
+                max_dneg = max(max_dneg, int(left.max()))
+        else:
+            if "sid" in d:
+                lo_add = t_add_lo[d["sid"]]
+                hi_add = t_add_hi[d["sid"]]
+            else:
+                lo_add = hi_add = np.zeros(len(d["t"]))
+            i_ref = _idx(d["t"] + lo_add)
+            i_ref_hi = _idx(d["t"] + hi_add)
+            if len(i_ref):
+                max_dpos = max(max_dpos, int((i_ref_hi - i_ref).max()))
         i_refs.append(i_ref)
         i_obs_list.append(i_obs)
+        i_ref_hi_list.append(i_ref_hi)
+        i_obs_hi_list.append(i_obs_hi)
 
     # Per-landmark knot-column support [lm_lo, lm_hi + W_max): i_ref varies
     # across a landmark's rows when the rolling-shutter readout spans
@@ -141,14 +177,15 @@ def segment_ba_layout(problem, n_shards):
     L = spec.num_landmarks
     lm_lo = np.full(max(L, 1), 10**9, dtype=np.int64)
     lm_hi = np.full(max(L, 1), -1, dtype=np.int64)
-    for bspec, data, i_ref, i_obs in zip(
-        spec.buckets, runtime["data"], i_refs, i_obs_list
+    for bspec, data, i_ref, i_obs, i_ref_hi, i_obs_hi in zip(
+        spec.buckets, runtime["data"], i_refs, i_obs_list,
+        i_ref_hi_list, i_obs_hi_list,
     ):
         if not bspec.kind.startswith("rs_"):
             continue
         lid = np.asarray(data["lid"])
         np.minimum.at(lm_lo, lid, np.minimum(i_ref, i_obs))
-        np.maximum.at(lm_hi, lid, np.maximum(i_ref, i_obs))
+        np.maximum.at(lm_hi, lid, np.maximum(i_ref_hi, i_obs_hi))
 
     # Pair-block size for the banded reduced system: with G >= any single
     # row's / landmark's column span, every row/landmark touches at most
@@ -200,6 +237,29 @@ def segment_ba_layout(problem, n_shards):
         ids = np.nonzero(lm_owner == s)[0]
         slot[ids] = np.arange(len(ids))
     lid_to_padded = lm_owner * Lb + slot  # [L] -> index into [n*Lb]
+
+    # --- lifting vt blocks: one vt per row, owned with its row ----------
+    # (lifting_rscamera_measurement.h:199-204: vt is a per-observation
+    # bounded parameter; every row touches exactly its own vt, so the vt
+    # axis shards with row ownership and needs no cross-device reduction)
+    V = spec.num_vt
+    vt_owner = np.zeros(max(V, 1), dtype=np.int64)
+    vt_seen = np.zeros(max(V, 1), dtype=bool)
+    for bspec, data, owner in zip(spec.buckets, runtime["data"], owners):
+        if bspec.kind.split(":")[0] != "rs_lifting":
+            continue
+        vti = np.asarray(data["vt_idx"])
+        vt_owner[vti] = owner
+        vt_seen[vti] = True
+    Vb = 1
+    vslot = np.zeros(max(V, 1), dtype=np.int64)
+    if V:
+        counts_v = np.bincount(vt_owner[vt_seen], minlength=n)
+        Vb = max(int(counts_v.max()), 1)
+        for s in range(n):
+            ids = np.nonzero(vt_seen & (vt_owner == s))[0]
+            vslot[ids] = np.arange(len(ids))
+    vtid_to_padded = vt_owner * Vb + vslot  # [V] -> index into [n*Vb]
 
     # --- banded-block bookkeeping (host-side) ----------------------------
     sbG = seg // G
@@ -284,6 +344,10 @@ def segment_ba_layout(problem, n_shards):
             # local slot ids replace globals inside the shard program
             d["lid"] = np.where(valid > 0, slot[d["lid"]], 0).astype(np.int32)
             d["lrel"] = np.where(valid > 0, lrel, 0).astype(np.int32)
+            if "vt_idx" in d:
+                d["vt_idx"] = np.where(
+                    valid > 0, vslot[d["vt_idx"]], 0
+                ).astype(np.int32)
         else:
             d["t"] = np.where(valid > 0, d["t"], pin_t)
         d["valid"] = valid.astype(mask.dtype)
@@ -329,6 +393,7 @@ def segment_ba_layout(problem, n_shards):
         splines=tuple(loc_splines),
         buckets=tuple(new_buckets),
         num_landmarks=Lb,
+        num_vt=Vb if V else 0,
     )
     runtime["data"] = new_data
 
@@ -338,6 +403,10 @@ def segment_ba_layout(problem, n_shards):
         mask_l[lid_to_padded] = mask[
             spec.landmark_offset: spec.landmark_offset + L
         ]
+    # vt mask, permuted into padded per-shard slots
+    mask_v = np.zeros(n * Vb, dtype=mask.dtype)
+    if V:
+        mask_v[vtid_to_padded] = mask[spec.vt_offset: spec.vt_offset + V]
     # knot tangent mask, padded to nk_pad (pad knots are locked)
     kmask = []
     for sp in spec.splines:
@@ -353,6 +422,8 @@ def segment_ba_layout(problem, n_shards):
     lay = dict(
         nk=nk, nk_pad=nk_pad, seg=seg, Hl=Hl, Hr=Hr, n=n, Lb=Lb, L=L,
         t0=t0, dt=dt, Pk_loc=Pk_loc, ns=ns, nloc=nloc,
+        V=V, Vb=Vb, vtid_to_padded=vtid_to_padded,
+        mask_v=jnp.asarray(mask_v),
         lid_to_padded=lid_to_padded,
         mask_l=jnp.asarray(mask_l), mask_sen=jnp.asarray(mask_sen),
         kmask=[jnp.asarray(m) for m in kmask],
@@ -380,6 +451,15 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
     ]
     seg, Hl, Hr, nloc = lay["seg"], lay["Hl"], lay["Hr"], lay["nloc"]
     Lb, Pk_loc, ns = lay["Lb"], lay["Pk_loc"], lay["ns"]
+    # per-shard vt slots (rs_lifting): extra LOCAL columns past the sensor
+    # border — each vt is touched only by its own (locally owned) row, so
+    # the vt segment of every cat vector needs neither halo nor psum
+    nvt = lay["Vb"] if lay["V"] else 0
+    if nvt and mode == "banded":
+        raise ValueError(
+            "rs_lifting buckets ride the segment-BA PCG mode (per-row vt "
+            "columns are not banded); use mode='pcg'"
+        )
     tds = [_TANGENT_DIMS[sp.kind] for sp in spec.splines]
     Pown = seg * sum(tds)
     dtype = np.asarray(problem.mask).dtype
@@ -481,8 +561,15 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             lay["mask_l"], ((s * Lb).astype(jnp.int32),), (Lb,)
         )
 
+    def _own_mask_v():
+        s = jax.lax.axis_index(MEASUREMENT_AXIS)
+        return jax.lax.dynamic_slice(
+            lay["mask_v"], ((s * nvt).astype(jnp.int32),), (nvt,)
+        )
+
     # column remap: window positions index the local knot tangent space
-    # as-is; sensor positions move to [Pk_loc, Pk_loc + ns)
+    # as-is; sensor positions move to [Pk_loc, Pk_loc + ns); vt positions
+    # (rs_lifting, last column) move to [Pk_loc + ns, Pk_loc + ns + Vb)
     col_shift = []
     for layout in layouts:
         shift = np.zeros(layout.C, np.int32)
@@ -490,9 +577,11 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             shift[layout.sensor_off: layout.sensor_off + SENSOR_TANGENT_DIM] = (
                 Pk_loc - spec_local.sensor_offset
             )
-        if layout.C > (layout.sensor_off + SENSOR_TANGENT_DIM
-                       if layout.sensor_off >= 0 else 0):
-            pass  # vt columns never appear (rs_lifting unsupported here)
+        vt_pos = (layout.sensor_off + SENSOR_TANGENT_DIM
+                  if layout.sensor_off >= 0 else 0)
+        if layout.C > vt_pos:  # trailing vt column (kernels emit
+            # spec_local.vt_offset + local slot there)
+            shift[vt_pos:] = Pk_loc + ns - spec_local.vt_offset
         col_shift.append(jnp.asarray(shift))
 
     def _whitened_blocks(rt, state, col_mask=True):
@@ -511,7 +600,10 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         if col_mask:
             mask_own = _own_mask()
             mask_loc = _halo_fill(mask_own)
-            mask_cat = jnp.concatenate([mask_loc, lay["mask_sen"]])
+            mask_cat = jnp.concatenate(
+                [mask_loc, lay["mask_sen"]]
+                + ([_own_mask_v()] if nvt else [])
+            )
 
         cost = jnp.zeros((), dtype)
         blocks = []
@@ -558,9 +650,9 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         kblocks, sblocks)."""
         cost, blocks, mask_l = _whitened_blocks(rt, state)
 
-        # gradient + duplicate-aware diagonal over [Pk_loc + ns]
-        g_cat = jnp.zeros((Pk_loc + ns,), dtype)
-        diag_cat = jnp.zeros((Pk_loc + ns,), dtype)
+        # gradient + duplicate-aware diagonal over [Pk_loc + ns + nvt]
+        g_cat = jnp.zeros((Pk_loc + ns + nvt,), dtype)
+        diag_cat = jnp.zeros((Pk_loc + ns + nvt,), dtype)
         D = jnp.zeros((Lb,), dtype)
         g_l = jnp.zeros((Lb,), dtype)
         for blk, layout in zip(blocks, layouts):
@@ -578,8 +670,12 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
                 )
         g_own = _halo_reduce(g_cat[:Pk_loc])
         diag_own = _halo_reduce(diag_cat[:Pk_loc])
-        g_sen = jax.lax.psum(g_cat[Pk_loc:], MEASUREMENT_AXIS)
-        diag_sen = jax.lax.psum(diag_cat[Pk_loc:], MEASUREMENT_AXIS)
+        g_sen = jax.lax.psum(g_cat[Pk_loc:Pk_loc + ns], MEASUREMENT_AXIS)
+        diag_sen = jax.lax.psum(
+            diag_cat[Pk_loc:Pk_loc + ns], MEASUREMENT_AXIS
+        )
+        g_vt = g_cat[Pk_loc + ns:]      # local: vt rows are shard-owned
+        diag_vt = diag_cat[Pk_loc + ns:]
 
         # block-Jacobi preconditioner blocks (per local knot, halo-reduced)
         kblocks = []
@@ -611,7 +707,7 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             sblocks = sblocks.at[sid].add(contrib)
         sblocks = jax.lax.psum(sblocks, MEASUREMENT_AXIS)
         return (cost, blocks, g_own, g_sen, diag_own, diag_sen, D, g_l,
-                kblocks, sblocks)
+                kblocks, sblocks, g_vt, diag_vt)
 
     def _halo_reduce_blocks(flat, si):
         """[nloc, k] per-knot quantities -> [seg, k] with halo rows returned."""
@@ -629,11 +725,25 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
 
     # ---- matvecs ---------------------------------------------------------
 
-    def _rows_matvec(blocks, x_own, x_sen, w_l=None, D_d=None, free=None):
+    def _cat(x):
+        """(own, sen, vt) triple -> [Pk_loc + ns + nvt] with halos."""
+        return jnp.concatenate([_halo_fill(x[0]), x[1], x[2]])
+
+    def _uncat(y_cat):
+        """[Pk_loc + ns + nvt] scatter result -> reduced (own, sen, vt):
+        halos returned to owners, sensor psum-reduced, vt local-only."""
+        return (
+            _halo_reduce(y_cat[:Pk_loc]),
+            jax.lax.psum(y_cat[Pk_loc:Pk_loc + ns], MEASUREMENT_AXIS),
+            y_cat[Pk_loc + ns:],
+        )
+
+    def _rows_matvec(blocks, x, w_l=None, D_d=None, free=None):
         """y = A_cc x  (minus E^T diag(free/D_d) E x when D_d given): the
-        Schur-complement matvec on compressed rows with halo exchange."""
-        x_loc = _halo_fill(x_own)
-        x_cat = jnp.concatenate([x_loc, x_sen])
+        Schur-complement matvec on compressed rows with halo exchange.
+        ``x`` is an (owned knots, sensor, vt) triple; the vt part is
+        per-shard local (rs_lifting rows are landmark-owned)."""
+        x_cat = _cat(x)
         y_cat = jnp.zeros_like(x_cat)
         Ex = jnp.zeros((Lb,), dtype)
         ts = []
@@ -652,13 +762,11 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             y_cat = y_cat.at[blk["cols"]].add(
                 jnp.einsum("mrc,mr->mc", blk["Jw"], t)
             )
-        y_own = _halo_reduce(y_cat[:Pk_loc])
-        y_sen = jax.lax.psum(y_cat[Pk_loc:], MEASUREMENT_AXIS)
-        return y_own, y_sen
+        return _uncat(y_cat)
 
-    def _e_matvec(blocks, x_own, x_sen):
+    def _e_matvec(blocks, x):
         """E x -> [Lb] (local: all of a landmark's rows live here)."""
-        x_cat = jnp.concatenate([_halo_fill(x_own), x_sen])
+        x_cat = _cat(x)
         Ex = jnp.zeros((Lb,), dtype)
         for blk in blocks:
             if "J_rho" not in blk:
@@ -668,8 +776,8 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         return Ex
 
     def _et_matvec(blocks, w_l):
-        """E^T w -> owned + sensor."""
-        y_cat = jnp.zeros((Pk_loc + ns,), dtype)
+        """E^T w -> (owned, sensor, vt)."""
+        y_cat = jnp.zeros((Pk_loc + ns + nvt,), dtype)
         for blk in blocks:
             if "J_rho" not in blk:
                 continue
@@ -677,19 +785,20 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             y_cat = y_cat.at[blk["cols"]].add(
                 jnp.einsum("mr,mrc->mc", coeff, blk["Jw"])
             )
-        return _halo_reduce(y_cat[:Pk_loc]), jax.lax.psum(
-            y_cat[Pk_loc:], MEASUREMENT_AXIS
-        )
+        return _uncat(y_cat)
 
     def _pdot(a, b):
-        """Distributed dot over (owned knots, sensor) vector pairs."""
-        a_own, a_sen = a
-        b_own, b_sen = b
-        local = jnp.dot(a_own, b_own)
+        """Distributed dot over (owned knots, sensor[, vt]) tuples: owned
+        and vt parts are shard-disjoint (psum), sensor is replicated.
+        The banded path passes pairs (it has no vt columns)."""
+        local = jnp.dot(a[0], b[0])
+        if len(a) > 2:
+            local = local + jnp.dot(a[2], b[2])
         total = jax.lax.psum(local, MEASUREMENT_AXIS)
-        return total + jnp.dot(a_sen, b_sen)
+        return total + jnp.dot(a[1], b[1])
 
-    def _precond_apply(kblocks, sblocks, diag_dk, diag_ds, r_own, r_sen):
+    def _precond_apply(kblocks, sblocks, diag_dk, diag_ds, diag_dv,
+                       r_own, r_sen, r_vt):
         out_parts = []
         for si, td in enumerate(tds):
             rk = r_own[own_off[si]: own_off[si + 1]].reshape(seg, td)
@@ -705,37 +814,48 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             out_sen = jnp.linalg.solve(B, rk[..., None])[..., 0].reshape(-1)
         else:
             out_sen = r_sen
-        return out_own, out_sen
+        # vt: scalar Jacobi (each vt couples only through its own row)
+        out_vt = r_vt / diag_dv if nvt else r_vt
+        return out_own, out_sen, out_vt
 
     # ---- damped PCG solve + LM step --------------------------------------
 
     def _solve(blocks, lin, lam, state):
         (cost, _, g_own, g_sen, diag_own, diag_sen, D, g_l,
-         kblocks, sblocks) = lin
+         kblocks, sblocks, g_vt, diag_vt) = lin
         from ..solver.kernels import landmark_free_mask
 
         mask_own = _own_mask()
+        mask_v = _own_mask_v() if nvt else g_vt
         # bound active set: freeze rho=0 landmarks with outward gradient
         # for this step (kernels.landmark_free_mask)
         mask_l = landmark_free_mask(state["rho"], g_l, _own_mask_l())
         diag_dk = lam * jnp.clip(diag_own, 1e-6, 1e32) + (1.0 - mask_own)
         diag_ds = lam * jnp.clip(diag_sen, 1e-6, 1e32) + (1.0 - lay["mask_sen"])
+        diag_dv = (
+            lam * jnp.clip(diag_vt, 1e-6, 1e32) + (1.0 - mask_v)
+            if nvt else diag_vt
+        )
         D_d = D + lam * jnp.clip(D, 1e-6, 1e32) + (1.0 - mask_l)
 
-        rhs_own, rhs_sen = _et_matvec(blocks, mask_l * g_l / D_d)
-        rhs = (rhs_own - g_own, rhs_sen - g_sen)
+        rhs_et = _et_matvec(blocks, mask_l * g_l / D_d)
+        g3 = (g_own, g_sen, g_vt)
+        rhs = jax.tree_util.tree_map(lambda a, b: a - b, rhs_et, g3)
 
         def matvec(x):
-            x_own, x_sen = x
-            y_own, y_sen = _rows_matvec(
-                blocks, x_own, x_sen, D_d=D_d, free=mask_l
+            y = _rows_matvec(blocks, x, D_d=D_d, free=mask_l)
+            return (
+                y[0] + diag_dk * x[0],
+                y[1] + diag_ds * x[1],
+                y[2] + diag_dv * x[2] if nvt else y[2],
             )
-            return (y_own + diag_dk * x_own, y_sen + diag_ds * x_sen)
 
         def precond(r):
-            return _precond_apply(kblocks, sblocks, diag_dk, diag_ds, *r)
+            return _precond_apply(
+                kblocks, sblocks, diag_dk, diag_ds, diag_dv, *r
+            )
 
-        x0 = (jnp.zeros_like(rhs[0]), jnp.zeros_like(rhs[1]))
+        x0 = jax.tree_util.tree_map(jnp.zeros_like, rhs)
         r0 = rhs
         z0 = precond(r0)
         bnorm2 = _pdot(rhs, rhs)
@@ -760,18 +880,23 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
 
         carry = (x0, r0, z0, z0, _pdot(r0, z0), jnp.asarray(0))
         (dc, _, _, _, _, k) = jax.lax.while_loop(cond, body, carry)
-        dc = (dc[0] * mask_own, dc[1] * lay["mask_sen"])
-        dl = -(g_l + _e_matvec(blocks, *dc)) / D_d * mask_l
+        dvt = dc[2] * mask_v if nvt else dc[2]
+        if nvt:
+            # project to the bounded retraction's increment (vt in [0, 1],
+            # lifting_rscamera_measurement.h:199-204) for an honest pred
+            dvt = jnp.clip(state["vt"] + dvt, 0.0, 1.0) - state["vt"]
+        dc = (dc[0] * mask_own, dc[1] * lay["mask_sen"], dvt)
+        dl = -(g_l + _e_matvec(blocks, dc)) / D_d * mask_l
         # project to the bounded retraction's increment (rho >= 0) so pred
         # reflects the step actually taken (see kernels.project_delta)
         dl = jnp.maximum(state["rho"] + dl, 0.0) - state["rho"]
 
         # pred + grad_max (landmark dots are over local blocks -> psum)
         lm_dot = jax.lax.psum(jnp.dot(g_l, dl), MEASUREMENT_AXIS)
-        gTd = _pdot((g_own, g_sen), dc) + lm_dot
-        H_own, H_sen = _rows_matvec(blocks, dc[0], dc[1])
-        dHd = _pdot(dc, (H_own, H_sen))
-        Edc = _e_matvec(blocks, *dc)
+        gTd = _pdot(g3, dc) + lm_dot
+        Hdc = _rows_matvec(blocks, dc)
+        dHd = _pdot(dc, Hdc)
+        Edc = _e_matvec(blocks, dc)
         dHd = dHd + jax.lax.psum(
             2.0 * jnp.dot(dl, Edc) + jnp.dot(dl, D * dl), MEASUREMENT_AXIS
         )
@@ -784,6 +909,10 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             jnp.max(jnp.abs(g_l)) if Lb else jnp.zeros((), dtype),
             MEASUREMENT_AXIS,
         )
+        if nvt:
+            gmax_l = jnp.maximum(
+                gmax_l, jax.lax.pmax(jnp.max(jnp.abs(g_vt)), MEASUREMENT_AXIS)
+            )
         gmax = jnp.maximum(jnp.maximum(gmax_own, gmax_l),
                            jnp.max(jnp.abs(g_sen)) if ns else 0.0)
         return dc, dl, pred, gmax
@@ -1092,7 +1221,7 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         return dc, dl, pred, gmax
 
     def _retract_local(state, dc, dl):
-        dc_own, dc_sen = dc
+        dc_own, dc_sen = dc[0], dc[1]
         new = dict(state)
         for si, sp in enumerate(spec.splines):
             td = tds[si]
@@ -1108,6 +1237,8 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             new["abias"] = state["abias"] + sens[:, 7:10]
             new["gbias"] = state["gbias"] + sens[:, 10:13]
         new["rho"] = jnp.maximum(state["rho"] + dl, 0.0)
+        if nvt and len(dc) > 2:
+            new["vt"] = jnp.clip(state["vt"] + dc[2], 0.0, 1.0)
         return new
 
     lay_dmax = jnp.asarray(np.asarray(problem.d_max), dtype)
@@ -1170,9 +1301,12 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
     for sp in spec.splines:
         st_specs[sp.kind] = P(MEASUREMENT_AXIS)
     st_specs["rho"] = P(MEASUREMENT_AXIS)
+    if nvt:
+        st_specs["vt"] = P(MEASUREMENT_AXIS)
 
     nk, nk_pad, L = lay["nk"], lay["nk_pad"], lay["L"]
     lid_to_padded = jnp.asarray(lay["lid_to_padded"])
+    vtid_to_padded = jnp.asarray(lay["vtid_to_padded"])
 
     def _to_sharded(state):
         st = dict(state)
@@ -1192,6 +1326,10 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         if L:
             rho_p = rho_p.at[lid_to_padded].set(state["rho"])
         st["rho"] = rho_p
+        if nvt:
+            vt_p = jnp.zeros((n * nvt,), state["vt"].dtype)
+            vt_p = vt_p.at[vtid_to_padded].set(state["vt"])
+            st["vt"] = vt_p
         return {
             k: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, st_specs[k]))
             for k, v in st.items()
@@ -1202,6 +1340,8 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         for sp in spec.splines:
             out[sp.kind] = st[sp.kind][:nk]
         out["rho"] = st["rho"][lid_to_padded] if L else st["rho"][:0]
+        if nvt:
+            out["vt"] = st["vt"][vtid_to_padded]
         return out
 
     return dict(

@@ -10,7 +10,8 @@ Evidence pinned here:
 - the full sharded LM solve reaches the synthetic ground truth;
 - the knot and landmark arrays are *actually sharded*: per-device
   addressable shards hold only seg knots / Lb landmarks;
-- static preconditions (unlocked time offsets) are rejected at build time.
+- unlocked sensor time offsets produce the same step as the single-chip
+  path (halos sized for the -+max_time_offset window motion).
 """
 import jax
 import numpy as np
@@ -119,13 +120,69 @@ def test_state_actually_sharded():
     assert valid.sum() == big["n_obs"]
 
 
-def test_requires_locked_offsets():
-    big = _problem(n_views=40, n_landmarks=100, seed=3)
-    problem = big["problem"]
-    # unlock the camera time offset -> ownership not static -> reject
-    problem.mask = problem.mask.at[problem.sensor_offset + 6].set(1.0)
-    with pytest.raises(ValueError, match="locked time offsets"):
-        segment_ba_layout(problem, 4)
+def test_unlocked_offsets_match_single_chip():
+    """Sensor time offsets UNLOCKED on the composed sharding (VERDICT r4
+    next-round #2): static row ownership/anchors come from the lower
+    bound of each row's window-base range while halos and superblocks
+    cover the full -+max_time_offset motion (the reference's span
+    widening, gyroscope_measurement.h:84-92); the offset column rides
+    the psum-reduced global sensor border. Both the camera and the IMU
+    offsets are unlocked, so camera (two-window) and gyro/accel
+    (single-window) buckets all exercise dynamic window bases. The
+    sharded banded step must equal the single-chip iterative-Schur step
+    and must actually move the offsets (nonzero offset gradient)."""
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import make_rsvi_problem
+
+    prob = make_rsvi_problem(
+        nviews=8, nlandmarks=12, imu_rate=40.0, seed=23,
+        perturb_rho=0.03, sigma_p=0.01, sigma_q=0.005, noise_px=0.5,
+        trajectory="split",
+    )
+    cam, imu = prob["camera"], prob["imu"]
+    cam.time_offset_locked = False
+    cam.max_time_offset = 0.05
+    imu.time_offset_locked = False
+    imu.max_time_offset = 0.05
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    # both offset tangent columns are live
+    live = [
+        float(problem.mask[problem.sensor_offset + 13 * s + 6])
+        for s in range(len(problem.sensors))
+    ]
+    assert live == [1.0, 1.0], live
+    state0 = problem.state0
+
+    istep, _ = make_iterative_step(problem, cg_tol=1e-12, cg_maxiter=400)
+    ref = istep(state0, 1e-4)
+    # the step moves the offsets: perturbed trajectory + noisy pixels give
+    # a nonzero offset gradient
+    assert np.abs(np.asarray(ref[1]["d"])).max() > 0.0
+
+    outs = {}
+    for n in (1, 2):
+        mesh = parallel.default_mesh(n_devices=n)
+        step, cost_fn = make_segment_ba_step(
+            problem, mesh, cg_tol=1e-12, cg_maxiter=400, mode="banded"
+        )
+        out = step(state0, 1e-4)
+        outs[n] = out
+        assert abs(float(out[0]) - float(ref[0])) <= 1e-9 * float(ref[0])
+        assert abs(float(out[2]) - float(ref[2])) <= 1e-6 * max(
+            float(ref[2]), 1e-12
+        )
+        assert abs(float(out[3]) - float(ref[3])) <= 1e-6 * abs(float(ref[3]))
+        assert abs(float(cost_fn(state0)) - float(ref[0])) <= 1e-9 * float(ref[0])
+        for k in ("r3", "so3", "rho", "d"):
+            np.testing.assert_allclose(
+                np.asarray(out[1][k]), np.asarray(ref[1][k]), atol=2e-4,
+                err_msg=k,
+            )
+    for k in ("r3", "so3", "rho", "d"):
+        np.testing.assert_allclose(
+            np.asarray(outs[1][1][k]), np.asarray(outs[2][1][k]), atol=1e-7,
+            err_msg=f"sharded {k}",
+        )
 
 
 def test_newton_rows_admitted_and_match_single_chip():
@@ -178,4 +235,58 @@ def test_newton_rows_admitted_and_match_single_chip():
         np.testing.assert_allclose(
             np.asarray(outs[1][1][k]), np.asarray(outs[2][1][k]), atol=1e-7,
             err_msg=f"sharded {k}",
+        )
+
+
+def test_lifting_rows_admitted_pcg_matches_single_chip():
+    """rs_lifting buckets ride the composed segment x landmark sharding
+    (VERDICT r4 next-round #2b): each row's vt parameter is owned by the
+    row's (landmark-owning) shard as extra local columns past the sensor
+    border — no halo, no psum — and the [0, 1] bound is projected in the
+    retraction (lifting_rscamera_measurement.h:199-204). PCG mode; the
+    banded mode rejects lifting with a clear error."""
+    from kontiki_tpu.solver.problem import Problem
+    from kontiki_tpu.synthetic import make_rsvi_problem
+
+    prob = make_rsvi_problem(
+        nviews=8, nlandmarks=12, imu_rate=40.0, seed=29, rs="lifting",
+        perturb_rho=0.03, sigma_p=0.01, sigma_q=0.005, noise_px=0.5,
+        trajectory="split",
+    )
+    problem = Problem(prob["trajectory"], prob["measurements"])
+    assert len(problem._lifting) > 0
+    state0 = problem.state0
+
+    istep, _ = make_iterative_step(problem, cg_tol=1e-12, cg_maxiter=400)
+    ref = istep(state0, 1e-4)
+    assert float(ref[2]) < float(ref[0])  # the step makes progress
+
+    outs = {}
+    for n in (1, 2):
+        mesh = parallel.default_mesh(n_devices=n)
+        step, cost_fn = make_segment_ba_step(
+            problem, mesh, cg_tol=1e-12, cg_maxiter=400, mode="pcg"
+        )
+        out = step(state0, 1e-4)
+        outs[n] = out
+        assert abs(float(out[0]) - float(ref[0])) <= 1e-9 * float(ref[0])
+        assert abs(float(out[2]) - float(ref[2])) <= 1e-5 * max(
+            float(ref[2]), 1e-12
+        )
+        assert abs(float(out[3]) - float(ref[3])) <= 1e-5 * abs(float(ref[3]))
+        assert abs(float(cost_fn(state0)) - float(ref[0])) <= 1e-9 * float(ref[0])
+        for k in ("r3", "so3", "rho", "vt"):
+            np.testing.assert_allclose(
+                np.asarray(out[1][k]), np.asarray(ref[1][k]), atol=2e-4,
+                err_msg=k,
+            )
+    for k in ("r3", "so3", "rho", "vt"):
+        np.testing.assert_allclose(
+            np.asarray(outs[1][1][k]), np.asarray(outs[2][1][k]), atol=1e-6,
+            err_msg=f"sharded {k}",
+        )
+
+    with pytest.raises(ValueError, match="pcg"):
+        make_segment_ba_step(
+            problem, parallel.default_mesh(n_devices=2), mode="banded"
         )
