@@ -72,6 +72,21 @@ def test_full_solve_reaches_ground_truth():
     )
     st, cost, it = solver(problem.state0)
     assert float(cost) < 1e-8, float(cost)
+    # config-5-shape optimality certificate (VERDICT r4 next-round #3):
+    # the sharded solve's terminal state must be a first-order stationary
+    # point of the SINGLE-CHIP problem — the bounds-aware projected
+    # gradient, computed by the independent single-chip linearizer on the
+    # global state, must shrink by orders of magnitude
+    from kontiki_tpu.solver.kkt import kkt_residual
+
+    kkt0 = kkt_residual(problem, problem.state0)
+    final = dict(problem.state0)
+    for k in ("r3", "so3", "rho"):
+        final[k] = jax.numpy.asarray(np.asarray(st[k]))[
+            : np.asarray(problem.state0[k]).shape[0]
+        ]
+    kkt = kkt_residual(problem, final)
+    assert kkt <= 1e-7 * kkt0, (kkt0, kkt)
     big["trajectory"].R3_spline.set_knots(np.asarray(st["r3"]))
     big["trajectory"].SO3_spline.set_knots(np.asarray(st["so3"]))
     ate = trajectory_ate(
