@@ -1133,8 +1133,6 @@ def build_parts(spec: ProblemSpec, x64: bool):
             else:
                 rho_p = jnp.ones_like(s)
                 cost = cost + 0.5 * jnp.sum(s)
-            col_mask = runtime["mask"][cols]
-            J = J * col_mask[:, None, :]
             if ASSEMBLY == "dense":
                 # Scatter each row's local block into a dense [rdim, P] row
                 # Jacobian (unique-per-row small scatter), then assemble H/g
@@ -1158,6 +1156,13 @@ def build_parts(spec: ProblemSpec, x64: bool):
                     rho_p[:, None, None] * JTJ
                 )
                 g = g.at[cols].add(rho_p[:, None] * JTr)
+        # Lock masking post-assembly (O(P^2) elementwise) instead of the
+        # per-row [M, C] gather mask[cols] — identical for 0/1 masks
+        # ((J diag(m))^T (J diag(m)) = m m^T ∘ J^T J) and removes the
+        # dominant gather from the dense-assembly step (see schur.py).
+        mask = runtime["mask"]
+        H = H * (mask[:, None] * mask[None, :])
+        g = g * mask
         return cost, H, g
 
     def retract(runtime, state, delta):

@@ -129,7 +129,6 @@ def build_schur_parts(spec, x64: bool, local_L: int = 0):
 
             # Remap columns past the landmark slice (lifted row times).
             cols_c = jnp.where(cols >= lo, cols - L, cols)
-            J = J * mask_c[cols_c][:, None, :]
             sq = jnp.sqrt(rho_p)
             Jw = J * sq[:, None, None]
             rw = r * sq[:, None]
@@ -170,6 +169,18 @@ def build_schur_parts(spec, x64: bool, local_L: int = 0):
                     E = E.at[lid].add(jnp.einsum("mr,mrp->mp", Jw_rho, Jd))
                     D = D.at[lid].add(jnp.sum(Jw_rho * Jw_rho, axis=1))
                     g_l = g_l.at[lid].add(jnp.sum(Jw_rho * rw, axis=1))
+        # Lock masking is applied POST-assembly in the block space
+        # (O(Pc^2 + L*Pc) elementwise) rather than per-row on J
+        # (mask_c[cols_c], an [M, C] gather that measured 6.2 ms — half the
+        # flagship config-4 step — on v5e; same optimization as the banded
+        # path's pair-block masking). With 0/1 masks the two are
+        # algebraically identical: (J diag(m))^T (J diag(m)) = m m^T ∘ J^T J.
+        # The landmark mask stays per-row (mask_l[lid], an [M] gather) so
+        # D/g_l/E rows of locked landmarks are zeroed exactly as before.
+        H_cc = H_cc * (mask_c[:, None] * mask_c[None, :])
+        g_c = g_c * mask_c
+        if L:
+            E = E * mask_c[None, :]
         return cost, H_cc, g_c, E, D, g_l
 
     def retract(runtime, state, delta):
