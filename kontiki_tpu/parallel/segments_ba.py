@@ -1018,13 +1018,14 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
             core = core.at[:hr_b].add(from_left)
         return core
 
-    def _banded_solve(rt, blocks, mask_l, lam, state):
-        """Assemble the damped reduced band and solve it exactly.
+    def _assemble_band(rt, blocks):
+        """Lock-masked pair-block assembly (Pa, ga, Ea, Da, gla).
 
-        Returns ((dc_own_ps, dc_sen), dl, pred, gmax) — the same contract
-        as the PCG ``_solve``."""
+        Depends only on the linearization ``blocks`` — not on ``lam`` or
+        the trust-region state — so the speculative loop can carry it
+        across iterations and re-solve with a new damping on rejects
+        without re-streaming the rows."""
         bt = rt["banded"]
-        mask_own = _own_mask()
 
         Pa = jnp.zeros((nbloc, WB, WB), dtype)
         ga = jnp.zeros((nbloc, WB), dtype)
@@ -1078,6 +1079,17 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         Pa = Pa * mask_w[:, :, None] * mask_w[:, None, :]
         ga = ga * mask_w
         Ea = Ea * mask_w[:, None, :]
+        return dict(Pa=Pa, ga=ga, Ea=Ea, Da=Da, gla=gla)
+
+    def _solve_band_from_asm(rt, asm, mask_l, lam, state):
+        """Damped SPIKE solve of the assembled pair blocks.
+
+        Returns ((dc_own_ps, dc_sen), dl, pred, gmax) — the same contract
+        as the PCG ``_solve``."""
+        bt = rt["banded"]
+        mask_own = _own_mask()
+        Pa, ga, Ea = asm["Pa"], asm["ga"], asm["Ea"]
+        Da, gla = asm["Da"], asm["gla"]
 
         # damping diagonals come from A_cc (pre-elimination), exactly as in
         # the PCG path / the exact-Schur path (damp-then-eliminate)
@@ -1266,12 +1278,39 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         new_cost = _cost_local(rt, new_state)
         return cost, new_state, new_cost, pred, (dc, dl), gmax
 
+    def _banded_solve(rt, blocks, mask_l, lam, state):
+        return _solve_band_from_asm(
+            rt, _assemble_band(rt, blocks), mask_l, lam, state
+        )
+
     def _step_local_banded(rt, state, lam):
         cost, blocks, mask_l = _whitened_blocks(rt, state, col_mask=False)
         dc, dl, pred, gmax = _banded_solve(rt, blocks, mask_l, lam, state)
         new_state = _retract_local(state, dc, dl)
         new_cost = _cost_local(rt, new_state)
         return cost, new_state, new_cost, pred, (dc, dl), gmax
+
+    def _lin0_banded(rt, state):
+        """(cost, asm, mask_l) — the carried linearization of the
+        speculative loop (see solver.lm.trust_region_loop_spec)."""
+        cost, blocks, mask_l = _whitened_blocks(rt, state, col_mask=False)
+        return cost, _assemble_band(rt, blocks), mask_l
+
+    def _step_spec_banded(rt, state, lin, lam):
+        """Speculative-linearization banded step: solve from the carried
+        assembly, then linearize+assemble the candidate — its (psum'd)
+        cost IS the re-cost, so each accepted LM iteration streams the
+        measurement rows ONCE (the separate `_cost_local` residual pass —
+        measured 27% of the config-5 step — disappears); rejected steps
+        re-solve the tiny carried band with a new damping without
+        re-streaming anything."""
+        cost, asm, mask_l = lin
+        dc, dl, pred, gmax = _solve_band_from_asm(
+            rt, asm, mask_l, lam, state
+        )
+        new_state = _retract_local(state, dc, dl)
+        new_lin = _lin0_banded(rt, new_state)
+        return new_state, new_lin, pred
 
     _step_local = _step_local_banded if mode == "banded" else _step_local_pcg
 
@@ -1348,6 +1387,9 @@ def _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode="banded"):
         spec=spec, lay=lay, runtime=runtime_p, rt_specs=rt_specs,
         st_specs=st_specs, step_local=_step_local, cost_local=_cost_local,
         to_sharded=_to_sharded, to_global=_to_global, mesh=mesh,
+        # speculative-linearization handles (banded mode only)
+        lin0_local=_lin0_banded if mode == "banded" else None,
+        step_spec_local=_step_spec_banded if mode == "banded" else None,
         # debug/profiling handles
         whitened_blocks=_whitened_blocks, banded_solve=_banded_solve,
         linearize_local=_linearize_local,
@@ -1403,11 +1445,24 @@ def make_segment_ba_solver(problem, mesh, max_iterations=50,
     the entire trust-region loop runs inside one shard_map program; state
     stays sharded across iterations (knots by segment, landmarks by block).
     Returns state -> (state, final_cost, iterations)."""
-    from ..solver.lm import trust_region_loop
+    from ..solver.lm import trust_region_loop, trust_region_loop_spec
 
     b = _build_segment_ba(problem, mesh, cg_tol, cg_maxiter, mode)
 
     def lm_loop(rt, state):
+        if mode == "banded":
+            # speculative loop: the candidate's linearize+assemble doubles
+            # as the re-cost, and rejects re-solve the carried (tiny) band
+            # assembly with fresh damping without re-streaming the rows
+            lin0 = b["lin0_local"](rt, state)
+            return trust_region_loop_spec(
+                lambda st, lin, lam: b["step_spec_local"](rt, st, lin, lam),
+                lin0, state,
+                max_iterations=max_iterations,
+                function_tolerance=function_tolerance,
+                dtype=lin0[0].dtype,
+            )
+
         def one_step(st, lam):
             cost, new_st, new_cost, pred, delta, gmax = b["step_local"](
                 rt, st, lam

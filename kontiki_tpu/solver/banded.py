@@ -480,6 +480,15 @@ def build_banded_parts(spec, x64: bool):
         new_cost = it["total_cost"](runtime, new_state)
         return cost, new_state, new_cost, pred, delta, grad_max
 
+    def step_spec(runtime, state, lin, lam):
+        # Speculative linearization (see kernels.step_spec): one full
+        # linearize per LM iteration instead of linearize + re-cost.
+        cost, blocks = lin
+        delta, pred, _ = solve_with_pred(runtime, blocks, lam, state)
+        new_state = it["retract"](runtime, state, delta)
+        new_lin = it["linearize"](runtime, new_state)
+        return new_state, new_lin, pred
+
     def solve_with_pred(runtime, blocks, lam, state=None):
         dtype = runtime["mask"].dtype
         g, _, _, _ = it["grad_and_diag"](blocks, dtype)
@@ -498,6 +507,7 @@ def build_banded_parts(spec, x64: bool):
         banded_solve=banded_solve,
         solve_with_pred=solve_with_pred,
         step=step,
+        step_spec=step_spec,
     )
 
 

@@ -420,11 +420,23 @@ def build_iterative_parts(spec, x64: bool, axis_name: Optional[str] = None):
         new_cost = total_cost(runtime, new_state)
         return cost, new_state, new_cost, pred, delta, grad_max
 
+    def step_spec(runtime, state, lin, lam, cg_tol=1e-10, cg_maxiter=500):
+        # Speculative linearization (see kernels.step_spec): one full
+        # linearize per LM iteration instead of linearize + re-cost.
+        cost, blocks = lin
+        delta, pred, _ = solve_with_pred(
+            runtime, blocks, lam, cg_tol, cg_maxiter, state=state
+        )
+        new_state = retract(runtime, state, delta)
+        new_lin = linearize(runtime, new_state)
+        return new_state, new_lin, pred
+
     return dict(
         total_cost=total_cost,
         linearize=linearize,
         retract=retract,
         step=step,
+        step_spec=step_spec,
         schur_solve=schur_solve,
         solve_with_pred=solve_with_pred,
         hcc_matvec=hcc_matvec,

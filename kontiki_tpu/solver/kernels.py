@@ -1168,8 +1168,7 @@ def build_parts(spec: ProblemSpec, x64: bool):
     def retract(runtime, state, delta):
         return _retract_state(spec, runtime, state, delta)
 
-    def step(runtime, state, lam):
-        cost, H, g = linearize(runtime, state)
+    def _solve_from_lin(runtime, state, H, g, lam):
         mask = runtime["mask"]
         L = spec.num_landmarks
         if L:
@@ -1186,14 +1185,32 @@ def build_parts(spec: ProblemSpec, x64: bool):
             mask = mask * f_full
         delta = damped_solve(mask, H, g, lam)
         delta = project_delta(spec, runtime, state, delta)
-        new_state = retract(runtime, state, delta)
-        new_cost = total_cost(runtime, new_state)
         pred = -(g @ delta + 0.5 * delta @ (H @ delta))
         grad_max = jnp.max(jnp.abs(g)) if g.shape[0] else jnp.zeros(())
+        return delta, pred, grad_max
+
+    def step(runtime, state, lam):
+        cost, H, g = linearize(runtime, state)
+        delta, pred, grad_max = _solve_from_lin(runtime, state, H, g, lam)
+        new_state = retract(runtime, state, delta)
+        new_cost = total_cost(runtime, new_state)
         return cost, new_state, new_cost, pred, delta, grad_max
 
+    def step_spec(runtime, state, lin, lam):
+        # Speculative-linearization step: the carried ``lin`` is the
+        # linearization AT ``state``; the candidate is linearized in full
+        # (its cost term doubles as the re-cost, its H/g become the next
+        # iteration's linearization on accept) so each LM iteration streams
+        # the measurement data ONCE instead of twice (linearize + re-cost).
+        cost, H, g = lin
+        delta, pred, _ = _solve_from_lin(runtime, state, H, g, lam)
+        new_state = retract(runtime, state, delta)
+        new_lin = linearize(runtime, new_state)
+        return new_state, new_lin, pred
+
     return dict(
-        total_cost=total_cost, linearize=linearize, retract=retract, step=step
+        total_cost=total_cost, linearize=linearize, retract=retract,
+        step=step, step_spec=step_spec,
     )
 
 

@@ -446,24 +446,134 @@ def trust_region_loop(one_step, cost0, state, *, max_iterations,
     return state, cost, it
 
 
+def trust_region_loop_spec(step_spec, lin0, state, *, max_iterations,
+                           function_tolerance, dtype,
+                           min_relative_decrease=1e-3,
+                           max_trust_region_radius=1e16):
+    """Speculative-linearization variant of :func:`trust_region_loop`.
+
+    Carries the linearization AT the current state in the loop; each body
+    solves from the carried linearization, then linearizes the *candidate*
+    in full — the candidate's cost term is the re-cost, and on accept its
+    H/g blocks become the next iteration's linearization. Accepted LM
+    iterations therefore stream the measurement data ONCE (linearize)
+    instead of twice (linearize + residual re-cost), which matters because
+    every solver config is HBM-bandwidth-bound (BENCH_NOTES roofline
+    table). On reject the candidate's Jacobian work is discarded — the
+    trade wins whenever rejects cost less than one residual pass per
+    accepted step, which holds for the Ceres radius policy (rejects are
+    rare after warmup). The iterate sequence is identical to
+    ``trust_region_loop``: ``lin[0]`` is the same cost ``total_cost``
+    computes (pinned by tests/test_residual_parity.py).
+
+    ``step_spec(state, lin, lam) -> (new_state, new_lin, pred)``;
+    ``lin0 = linearize(state0)`` with ``lin0[0]`` the initial cost.
+    Returns ``(state, final_cost, iterations_run)``."""
+
+    def cond(carry):
+        state, lin, mu, dec, it, done = carry
+        return (~done) & (it < max_iterations)
+
+    def body(carry):
+        state, lin, mu, dec, it, done = carry
+        cost_i = lin[0]
+        new_state, new_lin, pred = step_spec(state, lin, 1.0 / mu)
+        new_cost = new_lin[0]
+        relative_decrease = jnp.where(pred > 0, (cost_i - new_cost) / pred, -1.0)
+        ok = jnp.isfinite(new_cost) & (relative_decrease > min_relative_decrease)
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, b, a), state, new_state
+        )
+        lin = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(ok, b, a), lin, new_lin
+        )
+        mu_ok = mu / jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * relative_decrease - 1.0) ** 3
+        )
+        mu = jnp.where(ok, jnp.minimum(mu_ok, max_trust_region_radius), mu / dec)
+        dec = jnp.where(ok, 2.0, dec * 2.0)
+        done = ok & (jnp.abs(cost_i - new_cost) <= function_tolerance * cost_i)
+        return (state, lin, mu, dec, it + 1, done)
+
+    mu0 = jnp.asarray(1e4, dtype)
+    dec0 = jnp.asarray(2.0, dtype)
+    carry = (state, lin0, mu0, dec0, jnp.asarray(0), jnp.asarray(False))
+    state, lin, mu, dec, it, done = jax.lax.while_loop(cond, body, carry)
+    return state, lin[0], it
+
+
+def _make_spec_step(problem, strategy):
+    """(linearize0, step_spec) closures for the speculative fused loop."""
+    from .kernels import build_parts, problem_runtime, problem_spec
+
+    if strategy == "auto":
+        strategy = _resolve_auto(problem)
+    spec = problem_spec(problem)
+    runtime = problem_runtime(problem)
+    x64 = jax.config.jax_enable_x64
+    if strategy == "schur":
+        from .schur import build_schur_parts
+
+        parts = build_schur_parts(spec, x64)
+    elif strategy == "iterative_schur":
+        from .iterative import build_iterative_parts
+
+        parts = build_iterative_parts(spec, x64)
+    elif strategy == "banded":
+        from .banded import build_banded_parts
+
+        parts = build_banded_parts(spec, x64)
+    else:
+        parts = build_parts(spec, x64)
+    lin = parts["linearize"]
+    step_spec = parts["step_spec"]
+    return (
+        lambda state: lin(runtime, state),
+        lambda state, l, lam: step_spec(runtime, state, l, lam),
+    )
+
+
 def make_fused_solver(problem: Problem, max_iterations=50, function_tolerance=1e-6,
                       strategy="auto"):
     """Fully on-device LM via lax.while_loop (no host round-trips).
 
     Used by benchmarks and the multi-chip path; no callbacks. Returns a
-    jittable function state -> (state, final_cost, iterations_run)."""
-    step, total_cost = _make_step(problem, strategy)
+    jittable function state -> (state, final_cost, iterations_run).
+
+    The Schur/iterative/banded strategies use the speculative-
+    linearization loop (one measurement-data pass per accepted iteration;
+    see :func:`trust_region_loop_spec`) — measured +9..13% on the camera
+    configs, whose residual re-cost re-runs the full (re)projection chain.
+    The dense strategy keeps the classic loop: its IMU/gyro re-cost runs a
+    cheap cost-only kernel pass, so a speculative full linearize on
+    rejected steps costs more than it saves (measured -1..-6%)."""
+    resolved = _resolve_auto(problem) if strategy == "auto" else strategy
+    if resolved not in ("schur", "iterative_schur", "banded"):
+        step, total_cost = _make_step(problem, resolved)
+
+        def solve_fn(state):
+            cost0 = total_cost(state)
+            return trust_region_loop(
+                step, cost0, state,
+                max_iterations=max_iterations,
+                function_tolerance=function_tolerance,
+                dtype=problem.mask.dtype,
+            )
+
+        return jax.jit(solve_fn)
+
+    lin0_fn, step_spec = _make_spec_step(problem, resolved)
 
     def solve_fn(state):
-        cost0 = total_cost(state)
-        return trust_region_loop(
-            step, cost0, state,
+        lin0 = lin0_fn(state)
+        return trust_region_loop_spec(
+            step_spec, lin0, state,
             max_iterations=max_iterations,
             function_tolerance=function_tolerance,
             dtype=problem.mask.dtype,
         )
 
-    # jit at the top level: trust_region_loop builds fresh while_loop
-    # closures per call, so an *eager* caller would miss the compile cache
-    # and recompile the entire solve every invocation
+    # jit at the top level: the loop builds fresh while_loop closures per
+    # call, so an *eager* caller would miss the compile cache and
+    # recompile the entire solve every invocation
     return jax.jit(solve_fn)

@@ -210,12 +210,9 @@ def build_schur_parts(spec, x64: bool, local_L: int = 0):
             dl = jnp.zeros((0,), dc.dtype)
         return jnp.concatenate([dc[:lo], dl, dc[lo:]])
 
-    def step(runtime, state, lam):
-        cost, H_cc, g_c, E, D, g_l = linearize(runtime, state)
+    def _solve_from_lin(runtime, state, H_cc, g_c, E, D, g_l, lam):
         delta = schur_solve(runtime, H_cc, g_c, E, D, g_l, lam, state=state)
         delta = project_delta(spec, runtime, state, delta)
-        new_state = retract(runtime, state, delta)
-        new_cost = total_cost(runtime, new_state)
         dc = jnp.concatenate([delta[:lo], delta[lo + L:]])
         dl = delta[lo:lo + L]
         gTd = g_c @ dc + g_l @ dl
@@ -225,13 +222,35 @@ def build_schur_parts(spec, x64: bool, local_L: int = 0):
             jnp.max(jnp.abs(g_c)) if Pc else 0.0,
             jnp.max(jnp.abs(g_l)) if L else 0.0,
         )
+        return delta, pred, grad_max
+
+    def step(runtime, state, lam):
+        cost, H_cc, g_c, E, D, g_l = linearize(runtime, state)
+        delta, pred, grad_max = _solve_from_lin(
+            runtime, state, H_cc, g_c, E, D, g_l, lam
+        )
+        new_state = retract(runtime, state, delta)
+        new_cost = total_cost(runtime, new_state)
         return cost, new_state, new_cost, pred, delta, grad_max
+
+    def step_spec(runtime, state, lin, lam):
+        # Speculative linearization (see kernels.step_spec): one full
+        # linearize per LM iteration — the candidate's cost term is the
+        # re-cost, its blocks are the next accepted linearization.
+        cost, H_cc, g_c, E, D, g_l = lin
+        delta, pred, _ = _solve_from_lin(
+            runtime, state, H_cc, g_c, E, D, g_l, lam
+        )
+        new_state = retract(runtime, state, delta)
+        new_lin = linearize(runtime, new_state)
+        return new_state, new_lin, pred
 
     return dict(
         total_cost=total_cost,
         linearize=linearize,
         retract=retract,
         step=step,
+        step_spec=step_spec,
         schur_solve=schur_solve,
     )
 
